@@ -1,0 +1,102 @@
+"""Path-tracing integrator: fixed-depth masked bounce scan.
+
+TPU-native equivalent of `ray_color` (`IoniqRE/path_tracer.cu:231-328`): the
+reference's per-thread iterative loop with a fixed scatter_record stack and
+early break becomes a `lax.scan` over bounces carrying (ray, running product,
+active mask) — TPUs have no per-thread control flow, so terminated rays are
+masked lanes whose product multiplier is 1.
+
+The integrator contract (base formula Lo = Li * bsdf * (n·wi) / pdf, folded
+multiplicatively over the stack at `path_tracer.cu:320-326`) is preserved:
+
+  * per bounce, the contribution factor is cos_weight / pdf * attenuation;
+  * an emissive hit terminates the path, its strength*color entering as the
+    final multiplicative factor (`path_tracer.cu:297-305`);
+  * a miss terminates with the sky gradient factor (`path_tracer.cu:307-316`);
+  * a path still alive after max_depth bounces contributes just the product of
+    its scatter factors (no sky/emission term) — exactly the reference's
+    stack-exhaustion behavior.
+
+Gradients flow through hit geometry, materials, transforms and camera; the
+discrete hit selection (argmin index, hit/termination masks) is naturally
+piecewise-constant so `jax.grad` treats it as locally constant — the standard
+detached-sampling estimator for path-traced derivatives.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ptre_tpu.ops import materials, rng
+from ptre_tpu.ops.intersect import closest_hit
+from ptre_tpu.utils.config import RenderConfig
+
+
+def trace(key, origins, directions, packet, config: RenderConfig):
+    """Trace one sample per ray → linear color (R, 3).
+
+    Args:
+      key: per-(frame, sample) PRNG key; bounce keys are folded from it.
+      origins, directions: (R, 3) primary rays (unit directions).
+      packet: ScenePacket.
+      config: RenderConfig (max_depth, t range, sky, epsilons).
+    """
+    world_tris = packet.world_triangles()  # hoisted: shared across bounces
+
+    def bounce(carry, b):
+        o, d, color, active = carry
+        hit = closest_hit(
+            o, d, packet, world_tris, config.t_min, config.t_max, config.det_eps
+        )
+
+        bkey = rng.fold(key, b)
+        srec = materials.scatter(
+            bkey,
+            d,
+            hit.position,
+            hit.normal,
+            packet.mat_kind[hit.mat_id],
+            packet.mat_albedo[hit.mat_id],
+            packet.mat_param[hit.mat_id],
+            config.shadow_eps,
+            config.pdf_eps,
+        )
+
+        sky = materials.sky_attenuation(d, config.sky_bottom, config.sky_top)
+
+        # factor for this bounce: scatter term on hit, sky on miss
+        hit_factor = (srec.cos_weight / srec.pdf)[:, None] * srec.attenuation
+        factor = jnp.where(hit.hit[:, None], hit_factor, sky)
+        color = color * jnp.where(active[:, None], factor, 1.0)
+
+        terminated = ~hit.hit | srec.terminated
+        next_active = active & ~terminated
+        o = jnp.where(next_active[:, None], srec.next_origin, o)
+        d = jnp.where(next_active[:, None], srec.next_dir, d)
+        return (o, d, color, next_active), None
+
+    R = origins.shape[0]
+    init = (
+        origins,
+        directions,
+        jnp.ones((R, 3), jnp.float32),
+        jnp.ones((R,), bool),
+    )
+    (_, _, color, _), _ = jax.lax.scan(
+        bounce, init, jnp.arange(config.max_depth), length=config.max_depth
+    )
+    return color
+
+
+def postprocess_sample(color, clamp: bool = True):
+    """Per-sample clamp to [0,1] + NaN scrub (`path_tracer.cu:345-353`).
+
+    The reference clamps BEFORE accumulation (biasing bright emissive paths —
+    preserved for parity) and then scrubs NaNs; its scrub ran after the
+    accumulation add and was therefore ineffective — here the scrub is applied
+    effectively (a conscious fix; with finite math NaNs should not occur).
+    """
+    if clamp:
+        color = jnp.clip(color, 0.0, 1.0)
+    return jnp.nan_to_num(color, nan=0.0, posinf=0.0 if clamp else None, neginf=0.0)

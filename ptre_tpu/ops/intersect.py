@@ -1,0 +1,211 @@
+"""Batched ray–primitive intersection (branchless, TPU-friendly).
+
+TPU-native equivalent of `IoniqRE/shape.{h,cu}`: the reference's virtual
+`shape::intersect` dispatch and per-thread sequential closest-hit loop
+(`path_tracer.cu:252-295`) become masked, vectorized candidate evaluation over
+(R rays × P primitives) followed by an argmin reduction — no data-dependent
+control flow, so XLA tiles the whole thing onto the VPU.
+
+Semantics preserved from the reference:
+  * Sphere (`shape.cu:13-46`): half-b quadratic with unit ray direction
+    (a = 1); the near root is rejected if beyond t_max, and if the near root
+    is below t_min the FAR root is accepted with only a t_min check (the
+    reference never re-checks t_max on the far root — preserved).
+  * Triangle Möller–Trumbore (`shape.cu:62-103`): no back-face culling,
+    |det| < 1e-6 rejection, u/v barycentric rejection, smooth normal
+    (1-u-v)n0 + u n1 + v n2 normalized, front-face flip from the geometric
+    normal sign.
+  * Triangles are tested before spheres, and an accepted sphere replaces an
+    equal-t triangle hit (`path_tracer.cu:257-295` iteration order). Ties
+    within a primitive class resolve to the lowest index (the reference's
+    last-wins-on-exact-tie is measure-zero under float arithmetic).
+
+The two-pass structure (cheap t-only sweep + argmin, then full shading
+attributes recomputed for the single best primitive per ray) keeps the (R, P)
+intermediate to one array so XLA fuses it into the reduction instead of
+spilling to HBM.
+"""
+
+from __future__ import annotations
+
+from flax import struct
+import jax.numpy as jnp
+
+from ptre_tpu.ops import vecmat as vm
+
+_BIG = 1e30
+
+
+@struct.dataclass
+class HitRecord:
+    """Vectorized hit_record (reference `shape.h:7-14`)."""
+
+    t: jnp.ndarray  # (R,)
+    position: jnp.ndarray  # (R, 3)
+    normal: jnp.ndarray  # (R, 3) — flipped to face the ray (front_face logic)
+    front_face: jnp.ndarray  # (R,) bool
+    mat_id: jnp.ndarray  # (R,) int32
+    hit: jnp.ndarray  # (R,) bool
+
+
+def _sphere_candidates(o, d, center, radius, valid, t_min, t_max):
+    """Per-(ray, sphere) candidate t. Shapes: o,d (R,3); center (S,3).
+
+    Returns (t, accepted): (R, S) each. `t_max` may be (R,) or scalar.
+    """
+    oc = center[None, :, :] - o[:, None, :]  # (R, S, 3)
+    halfb = jnp.einsum("rsk,rk->rs", oc, d)
+    c = jnp.sum(oc * oc, axis=-1) - (radius * radius)[None, :]
+    delta = halfb * halfb - c
+    # sqrt has an infinite derivative at 0: keep the argument strictly
+    # positive on the (masked-out) miss lanes so gradients stay finite
+    sq = jnp.sqrt(jnp.where(delta > 0.0, delta, 1.0)) * (delta > 0.0)
+    t_near = halfb - sq
+    t_far = halfb + sq
+    t = jnp.where(t_near >= t_min, t_near, t_far)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max)[..., None], t_near.shape)
+    accepted = (
+        (delta >= 0.0)
+        & (t_near <= t_max)  # near-root-only t_max check (`shape.cu:26-28`)
+        & (t >= t_min)
+        & valid[None, :]
+    )
+    return t, accepted
+
+
+def intersect_spheres(o, d, center, radius, valid, t_min, t_max):
+    """Closest accepted sphere per ray → (t, index, hit): (R,), (R,), (R,)."""
+    t, accepted = _sphere_candidates(o, d, center, radius, valid, t_min, t_max)
+    t_masked = jnp.where(accepted, t, _BIG)
+    idx = jnp.argmin(t_masked, axis=-1)
+    best_t = jnp.take_along_axis(t_masked, idx[:, None], axis=-1)[:, 0]
+    hit = jnp.any(accepted, axis=-1)
+    return jnp.where(hit, best_t, _BIG), idx, hit
+
+
+def sphere_hit_attrs(o, d, t, center, radius):
+    """Shading attributes for one sphere hit per ray (`shape.cu:39-45`)."""
+    p = o + t[:, None] * d
+    n = (p - center) / radius[:, None]
+    front = jnp.sum(d * n, axis=-1) < 0.0
+    n = jnp.where(front[:, None], n, -n)
+    return p, n, front
+
+
+def _mt_t(o, d, v0, e1, e2, t_min, t_max, det_eps):
+    """Möller–Trumbore t-only sweep over (R rays × T tris) → (t, accepted)."""
+    # pvec = d × e2 : (R, T, 3)
+    pvec = jnp.cross(d[:, None, :], e2[None, :, :])
+    det = jnp.einsum("tk,rtk->rt", e1, pvec)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < det_eps, 1.0, det)
+    tvec = o[:, None, :] - v0[None, :, :]  # (R, T, 3)
+    u = jnp.einsum("rtk,rtk->rt", tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, e1[None, :, :])
+    v = jnp.einsum("rk,rtk->rt", d, qvec) * inv_det
+    t = jnp.einsum("tk,rtk->rt", e2, qvec) * inv_det
+    t_max = jnp.broadcast_to(jnp.asarray(t_max)[..., None], t.shape)
+    accepted = (
+        (jnp.abs(det) >= det_eps)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t >= t_min)
+        & (t <= t_max)
+    )
+    return t, accepted
+
+
+def intersect_triangles(o, d, v0, v1, v2, valid, t_min, t_max, det_eps=1e-6):
+    """Closest accepted triangle per ray → (t, index, hit).
+
+    v0/v1/v2 are WORLD-space (T, 3) — pre-transformed once per frame by
+    `ScenePacket.world_triangles`, not per ray per bounce like the reference
+    (`path_tracer.cu:265-270`); images are identical, cost is O(T) not O(R*T*B).
+    """
+    e1 = v1 - v0
+    e2 = v2 - v0
+    t, accepted = _mt_t(o, d, v0, e1, e2, t_min, t_max, det_eps)
+    accepted = accepted & valid[None, :]
+    t_masked = jnp.where(accepted, t, _BIG)
+    idx = jnp.argmin(t_masked, axis=-1)
+    best_t = jnp.take_along_axis(t_masked, idx[:, None], axis=-1)[:, 0]
+    hit = jnp.any(accepted, axis=-1)
+    return jnp.where(hit, best_t, _BIG), idx, hit
+
+
+def triangle_hit_attrs(o, d, t, v0, v1, v2, n0, n1, n2):
+    """Recompute u/v + smooth normal for the single best triangle per ray.
+
+    All triangle inputs are per-ray gathers of shape (R, 3). Matches the
+    normal interpolation + front-face flip at `shape.cu:96-101`.
+    """
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = jnp.cross(d, e2)
+    det = jnp.einsum("rk,rk->r", e1, pvec)
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    tvec = o - v0
+    u = jnp.einsum("rk,rk->r", tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.einsum("rk,rk->r", d, qvec) * inv_det
+
+    n = (1.0 - u - v)[:, None] * n0 + u[:, None] * n1 + v[:, None] * n2
+    n = vm.normalize(n)
+    geo_n = jnp.cross(e1, e2)
+    front = jnp.einsum("rk,rk->r", d, geo_n) < 0.0
+    n = jnp.where(front[:, None], n, -n)
+    p = o + t[:, None] * d
+    return p, n, front
+
+
+def closest_hit(o, d, packet, world_tris, t_min, t_max, det_eps=1e-6) -> HitRecord:
+    """Scene closest-hit: triangles first, then spheres (`path_tracer.cu:252-295`).
+
+    Args:
+      o, d: (R, 3) ray origins / unit directions.
+      packet: ScenePacket (for sphere arrays, material ids, masks).
+      world_tris: (v0, v1, v2, n0, n1, n2) world-space from
+        `packet.world_triangles()` — hoisted out so the bounce scan reuses it.
+    """
+    v0, v1, v2, n0, n1, n2 = world_tris
+
+    t_tri, i_tri, hit_tri = intersect_triangles(
+        o, d, v0, v1, v2, packet.tri_valid, t_min, t_max, det_eps
+    )
+    # spheres are tested against the triangle-shrunk t_max, and an accepted
+    # sphere (incl. the far-root quirk) replaces the triangle hit
+    t_sph, i_sph, hit_sph = intersect_spheres(
+        o,
+        d,
+        packet.sph_center,
+        packet.sph_radius,
+        packet.sph_valid,
+        t_min,
+        jnp.where(hit_tri, t_tri, t_max),
+    )
+
+    use_sph = hit_sph
+    hit = hit_tri | hit_sph
+    t = jnp.where(use_sph, t_sph, t_tri)
+
+    # gather per-ray best-primitive attributes
+    g = lambda a, i: a[i]
+    p_tri, n_tri, f_tri = triangle_hit_attrs(
+        o, d, t_tri, g(v0, i_tri), g(v1, i_tri), g(v2, i_tri),
+        g(n0, i_tri), g(n1, i_tri), g(n2, i_tri),
+    )
+    p_sph, n_sph, f_sph = sphere_hit_attrs(
+        o, d, t_sph, packet.sph_center[i_sph], packet.sph_radius[i_sph]
+    )
+
+    sel = use_sph[:, None]
+    position = jnp.where(sel, p_sph, p_tri)
+    normal = jnp.where(sel, n_sph, n_tri)
+    front = jnp.where(use_sph, f_sph, f_tri)
+    mat_id = jnp.where(use_sph, packet.sph_mat[i_sph], packet.tri_mat[i_tri])
+
+    return HitRecord(
+        t=t, position=position, normal=normal, front_face=front,
+        mat_id=mat_id, hit=hit,
+    )

@@ -1,0 +1,205 @@
+"""End-to-end integrator + progressive accumulation tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptre_tpu.models import demo
+from ptre_tpu.models.scene import Material, MaterialKind, Model, Scene
+from ptre_tpu.models import mesh as mg
+from ptre_tpu.ops import camera as cam_ops
+from ptre_tpu.ops import integrator, rng
+from ptre_tpu.render import pathtracer as pt
+from ptre_tpu.utils.config import RenderConfig
+
+
+def _cam(w=16, h=16, **kw):
+    kw.setdefault("position", (0.0, 0.5, -3.0))
+    kw.setdefault("forward", (0.0, -0.5, 3.0))
+    return cam_ops.Camera.create(width=w, height=h, **kw)
+
+
+def _cfg(**kw):
+    kw.setdefault("width", 16)
+    kw.setdefault("height", 16)
+    return RenderConfig(**kw)
+
+
+def test_sky_only():
+    # empty scene → every ray terminates on the sky at bounce 0
+    scn = Scene()
+    scn.add_mesh("tri", mg.tri())
+    scn.add_model("t", Model("tri"))
+    scn.get_model("t").set_transforms(1e-4, 0.0, (0.0, -500.0, 0.0))
+    pkt = scn.build_packet(tri_pad=8)
+    cam = _cam(projection=cam_ops.PERSPECTIVE)
+    px, py = pt.pixel_grid(16, 16)
+    o, d = cam_ops.get_rays(cam, px, py, jnp.zeros((256, 2)))
+    color = integrator.trace(rng.key_for(0), o, d, pkt, _cfg())
+    a = (np.asarray(d)[:, 1] + 1.0) * 0.5
+    expect = (1 - a)[:, None] * np.array([1.0, 1.0, 1.0]) + a[:, None] * np.array([0.5, 0.7, 1.0])
+    np.testing.assert_allclose(np.asarray(color), expect, atol=1e-5)
+
+
+def test_emissive_wall_fills_view():
+    # giant emissive quad in front of the camera → color = strength*albedo,
+    # clamped to 1 after postprocess (`path_tracer.cu:345-348`)
+    scn = Scene()
+    scn.add_mesh("quad", mg.quad())
+    scn.add_model("wall", Model("quad"))
+    scn.get_model("wall").set_transforms(100.0, 0.0, (0.0, 0.5, 2.0))
+    pkt = scn.build_packet(tri_pad=8)
+    cam = _cam()
+    px, py = pt.pixel_grid(16, 16)
+    o, d = cam_ops.get_rays(cam, px, py, jnp.zeros((256, 2)))
+    color = integrator.trace(rng.key_for(0), o, d, pkt, _cfg())
+    np.testing.assert_allclose(np.asarray(color), 10.0, atol=1e-4)
+    post = integrator.postprocess_sample(color)
+    np.testing.assert_allclose(np.asarray(post), 1.0)
+
+
+def test_demo_scene_renders_finite_and_plausible():
+    scn = demo.reference_demo_scene(16, 8)
+    pkt = scn.build_packet()
+    cam = _cam(32, 32)
+    cfg = _cfg(width=32, height=32)
+    img = pt.sample_image(rng.key_for(1), pkt, cam, cfg)
+    a = np.asarray(img)
+    assert np.all(np.isfinite(a)) and a.min() >= 0.0 and a.max() <= 1.0
+    assert a.max() > 0.05  # something visible
+
+
+def test_determinism_same_key():
+    scn = demo.reference_demo_scene(8, 4)
+    pkt = scn.build_packet()
+    cam = _cam()
+    cfg = _cfg()
+    i1 = pt.sample_image(rng.key_for(5), pkt, cam, cfg)
+    i2 = pt.sample_image(rng.key_for(5), pkt, cam, cfg)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    i3 = pt.sample_image(rng.key_for(6), pkt, cam, cfg)
+    assert not np.array_equal(np.asarray(i1), np.asarray(i3))
+
+
+def test_ray_chunking_matches_unchunked():
+    scn = demo.reference_demo_scene(8, 4)
+    pkt = scn.build_packet()
+    cam = _cam()
+    cfg = _cfg()
+    full = pt.sample_image(rng.key_for(2), pkt, cam, cfg, ray_chunk=0)
+    # chunked uses per-chunk folded keys → different draws, but statistics and
+    # geometry-driven structure must match; compare where paths are
+    # deterministic (primary-hit emissive/sky pixels)
+    chunked = pt.sample_image(rng.key_for(2), pkt, cam, cfg, ray_chunk=64)
+    a, b = np.asarray(full), np.asarray(chunked)
+    assert a.shape == b.shape
+    det = np.all(np.isclose(a, b, atol=1e-5), axis=-1)
+    assert det.mean() > 0.3  # sky/emissive pixels identical
+
+
+def test_running_average_matches_reference_formula():
+    scn = demo.reference_demo_scene(8, 4)
+    pkt = scn.build_packet()
+    cam = _cam()
+    cfg = _cfg()
+    accum = pt.AccumState.create(16, 16)
+    key = rng.key_for(42)
+    out = pt.render_step(pkt, cam, accum, key, cfg, spp=3)
+    assert int(out.frame) == 3
+
+    # manual replay of lin = c/n + lin*(n-1)/n (`path_tracer.cu:356-358`)
+    lin = np.zeros((16, 16, 3), np.float32)
+    n = 0
+    for s in range(3):
+        n += 1
+        skey = rng.fold(rng.fold(key, s), n)
+        img = np.asarray(pt.sample_image(skey, pkt, cam, cfg)).reshape(16, 16, 3)
+        nf = np.float32(n)
+        lin = (img / nf + lin * ((nf - 1.0) / nf)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(out.linear), lin, atol=1e-5)
+
+
+def test_reset_restarts_accumulation():
+    scn = demo.reference_demo_scene(8, 4)
+    pkt = scn.build_packet()
+    cam = _cam()
+    cfg = _cfg()
+    accum = pt.AccumState.create(16, 16)
+    accum = pt.render_step(pkt, cam, accum, rng.key_for(1), cfg, spp=2)
+    accum = accum.reset()
+    assert int(accum.frame) == 0
+    out = pt.render_step(pkt, cam, accum, rng.key_for(2), cfg, spp=1)
+    # n=1 overwrites history completely (`path_tracer.cu:394-400` + running avg)
+    skey = rng.fold(rng.fold(rng.key_for(2), 0), 1)
+    img = np.asarray(pt.sample_image(skey, pkt, cam, cfg)).reshape(16, 16, 3)
+    np.testing.assert_allclose(np.asarray(out.linear), img, atol=1e-5)
+
+
+def test_display_transform():
+    lin = jnp.array([[[0.0, 0.25, 1.0]]])
+    disp = pt.to_display(lin)
+    np.testing.assert_array_equal(np.asarray(disp), [[[0, 127, 255]]])
+    bgra = pt.to_bgra8(disp)
+    np.testing.assert_array_equal(np.asarray(bgra), [[[255, 127, 0, 255]]])
+
+
+def test_max_depth_exhaustion_no_sky_term():
+    # camera inside a closed diffuse box: paths never terminate within
+    # max_depth → color is the product of scatter factors only
+    scn = Scene()
+    scn.add_mesh("cube", mg.cube())
+    scn.add_model("box", Model("cube"))
+    scn.get_model("box").set_transforms(10.0, 0.0, (0.0, 0.0, 0.0))
+    gray = scn.add_material(Material(MaterialKind.OREN_NAYAR, (0.5, 0.5, 0.5), 0.0))
+    scn.set_model_material("box", gray)
+    pkt = scn.build_packet(tri_pad=16)
+    cam = _cam(8, 8, position=(0.0, 0.0, 0.0), forward=(0.0, 0.0, 1.0))
+    px, py = pt.pixel_grid(8, 8)
+    o, d = cam_ops.get_rays(cam, px, py, jnp.zeros((64, 2)))
+    cfg = _cfg(width=8, height=8, max_depth=3)
+    color = np.asarray(integrator.trace(rng.key_for(3), o, d, pkt, cfg))
+    assert np.all(np.isfinite(color))
+    # lambertian σ=0: each factor = π·(albedo/π)·cos/... E[factor] = albedo·E[cos/pdf·1/π]··· just bound it
+    assert color.max() <= 1.0 + 1e-4  # ≤ albedo^1 with cos/pdf = π·cos/π·cos... bounded by 1
+
+
+def test_gradient_wrt_material_albedo_matches_fd():
+    scn = demo.reference_demo_scene(8, 4)
+    pkt = scn.build_packet()
+    cam = _cam(8, 8)
+    cfg = _cfg(width=8, height=8, clamp_samples=False)
+    key = rng.key_for(9)
+    px, py = pt.pixel_grid(8, 8)
+    o, d = cam_ops.get_rays(cam, px, py, jnp.zeros((64, 2)))
+
+    def loss(albedo_scale):
+        p = pkt.replace(mat_albedo=pkt.mat_albedo * albedo_scale)
+        c = integrator.trace(key, o, d, p, cfg)
+        return jnp.mean(c)
+
+    g = jax.grad(loss)(jnp.float32(1.0))
+    eps = 1e-3
+    fd = (loss(1.0 + eps) - loss(1.0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=2e-2)
+    assert abs(float(g)) > 1e-4
+
+
+def test_gradient_wrt_sphere_radius_matches_fd():
+    scn = demo.reference_demo_scene(8, 4)
+    pkt = scn.build_packet()
+    cam = _cam(8, 8)
+    cfg = _cfg(width=8, height=8, clamp_samples=False)
+    key = rng.key_for(10)
+    px, py = pt.pixel_grid(8, 8)
+    o, d = cam_ops.get_rays(cam, px, py, jnp.zeros((64, 2)))
+
+    def loss(dr):
+        p = pkt.replace(sph_radius=pkt.sph_radius + dr)
+        return jnp.mean(integrator.trace(key, o, d, p, cfg))
+
+    g = jax.grad(loss)(jnp.float32(0.0))
+    eps = 1e-3
+    fd = (loss(jnp.float32(eps)) - loss(jnp.float32(-eps))) / (2 * eps)
+    # geometry gradients: FD includes visibility jumps the detached estimator
+    # ignores; with this scene/keys no silhouette flips occur at ±1e-3
+    np.testing.assert_allclose(float(g), float(fd), rtol=0.1, atol=1e-3)

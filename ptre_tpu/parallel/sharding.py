@@ -1,0 +1,228 @@
+"""Multi-chip rendering + training over a jax.sharding.Mesh.
+
+The reference is single-process single-GPU — its only "transport" is
+CPU↔GPU memcpy (`scene.cu:183-233`, `path_tracer.cu:385`). The TPU-native
+scaling design (SURVEY §2 parallelism table, BASELINE north star):
+
+  * ``dp`` axis: pixel-tile data parallelism — each chip owns a contiguous
+    block of image rows; the scene packet is replicated (it is small and
+    every ray may touch every primitive), so the forward pass needs ZERO
+    cross-chip communication during the bounce loop.
+  * ``sp`` axis: sample parallelism — samples-per-pixel divided across
+    chips; progressive accumulation is a chip-local reduction, combined by a
+    single ``psum`` mean at the end of a launch.
+  * Gradients: each chip back-propagates its pixel/sample shard; parameter
+    gradients are ``psum``-all-reduced over both axes — the only collective
+    in the training step, riding ICI.
+
+Implemented with ``jax.shard_map`` so the collectives are explicit and the
+per-chip code is exactly the single-chip path (same kernels, no resharding).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ptre_tpu.ops import camera as cam_ops
+from ptre_tpu.ops import integrator, rng
+from ptre_tpu.render import pathtracer as pt
+from ptre_tpu.utils.config import RenderConfig
+
+
+def make_mesh(shape: Optional[Tuple[int, int]] = None, devices=None) -> Mesh:
+    """Create a ("dp", "sp") device mesh over all (or given) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    assert shape[0] * shape[1] == n, (shape, n)
+    dm = mesh_utils.create_device_mesh(shape, devices=devices)
+    return Mesh(dm, ("dp", "sp"))
+
+
+def _local_rows(cam: cam_ops.Camera, dp_size: int):
+    assert cam.height % dp_size == 0, (cam.height, dp_size)
+    return cam.height // dp_size
+
+
+def _sample_rows(key, packet, cam, config, y0, rows):
+    """One jittered sample for `rows` image rows starting at y0 → (rows*W, 3)."""
+    py, px = jnp.meshgrid(
+        y0 + jnp.arange(rows, dtype=jnp.float32),
+        jnp.arange(cam.width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    px, py = px.reshape(-1), py.reshape(-1)
+    jitter = rng.pixel_jitter(rng.fold(key, 0x9E37), (px.shape[0],))
+    o, d = cam_ops.get_rays(cam, px, py, jitter)
+    color = integrator.trace(key, o, d, packet, config)
+    return integrator.postprocess_sample(color, config.clamp_samples)
+
+
+def shard_render_step(
+    mesh: Mesh,
+    packet,
+    cam: cam_ops.Camera,
+    accum: pt.AccumState,
+    key,
+    config: RenderConfig,
+    spp: int = 1,
+):
+    """Progressive render step sharded (rows over dp, samples over sp).
+
+    ``accum.linear`` is sharded over rows; the packet/camera are replicated.
+    Each chip accumulates its own rows; along ``sp`` each chip renders
+    spp/sp_size samples and the running averages are psum-averaged so the
+    result equals the single-chip running average over all spp samples (up to
+    sample ordering in the average, which the mean makes exact).
+    """
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    assert spp % sp == 0, (spp, sp)
+    local_spp = spp // sp
+    rows = _local_rows(cam, dp)
+
+    def local_step(packet, linear, frame, key):
+        dp_i = jax.lax.axis_index("dp")
+        sp_i = jax.lax.axis_index("sp")
+        y0 = (dp_i * rows).astype(jnp.float32)
+        lkey = rng.fold(key, dp_i * 131071 + sp_i)
+
+        # chip-local progressive accumulation of local_spp samples starting
+        # from the shared global counter (`path_tracer.cu:356-358`)
+        def body(carry, s):
+            lin, n = carry
+            n1 = n + 1
+            skey = rng.fold(rng.fold(lkey, s), n1)
+            img = _sample_rows(skey, packet, cam, config, y0, rows)
+            img = img.reshape(rows, cam.width, 3)
+            n1f = n1.astype(jnp.float32)
+            lin = img / n1f + lin * ((n1f - 1.0) / n1f)
+            return (lin, n1), None
+
+        (lin, n), _ = jax.lax.scan(body, (linear, frame), jnp.arange(local_spp))
+        # combine the sp chips' independent running averages (they carry
+        # equal sample counts → plain mean keeps the running-average meaning)
+        lin = jax.lax.pmean(lin, "sp")
+        n = frame + local_spp * sp
+        return lin, n
+
+    linear, frame = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P("dp", None, None), P(), P()),
+        out_specs=(P("dp", None, None), P()),
+        check_vma=False,
+    )(packet, accum.linear, accum.frame, key)
+    return pt.AccumState(linear=linear, frame=frame)
+
+
+def differentiable_params(packet, cam: cam_ops.Camera):
+    """The sweepable/differentiable parameter pytree (BASELINE configs 4-5)."""
+    return {
+        "transforms": packet.transforms,
+        "sph_center": packet.sph_center,
+        "sph_radius": packet.sph_radius,
+        "mat_albedo": packet.mat_albedo,
+        "mat_param": packet.mat_param,
+        "cam_position": cam.position,
+        "cam_forward": cam.forward,
+        "cam_fov": cam.fov_degrees,
+    }
+
+
+def _apply_params(params, packet, cam):
+    packet = packet.replace(
+        transforms=params["transforms"],
+        sph_center=params["sph_center"],
+        sph_radius=params["sph_radius"],
+        mat_albedo=params["mat_albedo"],
+        mat_param=params["mat_param"],
+    )
+    cam = cam.replace(
+        position=params["cam_position"],
+        forward=params["cam_forward"],
+        fov_degrees=params["cam_fov"],
+    )
+    return packet, cam
+
+
+def shard_train_step(
+    mesh: Mesh,
+    params,
+    packet,
+    cam: cam_ops.Camera,
+    target,
+    key,
+    config: RenderConfig,
+    spp: int = 1,
+    lr: float = 0.0,
+):
+    """One forward+backward step: L2 image loss vs `target`, grads psum'd.
+
+    Rows shard over dp, samples over sp; the scene is replicated so the only
+    collectives are the loss/grad psums (overlappable with backward by XLA).
+    Returns (loss, grads, new_params); ``lr`` > 0 also applies SGD.
+    """
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    assert spp % sp == 0
+    local_spp = spp // sp
+    rows = _local_rows(cam, dp)
+
+    def local_loss(params, packet, target_rows, key):
+        dp_i = jax.lax.axis_index("dp")
+        sp_i = jax.lax.axis_index("sp")
+        y0 = (dp_i * rows).astype(jnp.float32)
+        lkey = rng.fold(key, dp_i * 131071 + sp_i)
+        pkt, lcam = _apply_params(params, packet, cam)
+
+        def body(acc, s):
+            img = _sample_rows(rng.fold(lkey, s), pkt, lcam, config, y0, rows)
+            return acc + img.reshape(rows, cam.width, 3), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((rows, cam.width, 3), jnp.float32), jnp.arange(local_spp)
+        )
+        img = jax.lax.pmean(acc / local_spp, "sp")
+        # per-dp-shard MSE; the global image MSE is the dp-mean of these
+        return jnp.mean((img - target_rows) ** 2)
+
+    def local_step(params, packet, target_rows, key):
+        loss, grads = jax.value_and_grad(local_loss)(params, packet, target_rows, key)
+        # combine shard gradients: the in-scan pmean over sp back-propagates
+        # as a psum of the (replicated) cotangent, so each chip's grad comes
+        # out sp-fold too large; pmean over both axes restores the gradient
+        # of the global mean loss — validated numerically against a
+        # single-device replay in tests/test_parallel.py
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, ("dp", "sp")), grads)
+        return jax.lax.pmean(loss, "dp"), grads
+
+    loss, grads = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp", None, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(params, packet, target, key)
+
+    new_params = (
+        jax.tree.map(lambda p, g: p - lr * g, params, grads) if lr else params
+    )
+    return loss, grads, new_params
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a pytree replicated over the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_rows(mesh: Mesh, arr):
+    """Place an (H, ...) array row-sharded over the dp axis."""
+    s = NamedSharding(mesh, P("dp"))
+    return jax.device_put(arr, s)

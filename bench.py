@@ -45,16 +45,17 @@ def main():
 
     ray_chunk = (W * H) // 8  # bound the (rays x primitives) working set
 
-    # warmup / compile
+    # warmup / compile (fetch a scalar: the experimental tunnel platform's
+    # block_until_ready does not reliably wait, so force a host readback)
     accum = pt.render_step_jit(pkt, cam, accum, rng.fold(key, 0), cfg,
                                spp=SPP_PER_STEP, ray_chunk=ray_chunk)
-    accum.linear.block_until_ready()
+    float(accum.linear.sum())
 
     t0 = time.perf_counter()
     for i in range(1, STEPS + 1):
         accum = pt.render_step_jit(pkt, cam, accum, rng.fold(key, i), cfg,
                                    spp=SPP_PER_STEP, ray_chunk=ray_chunk)
-    accum.linear.block_until_ready()
+    float(accum.linear.sum())  # host readback = hard sync
     dt = time.perf_counter() - t0
 
     samples = W * H * SPP_PER_STEP * STEPS

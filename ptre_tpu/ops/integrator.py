@@ -33,6 +33,19 @@ from ptre_tpu.ops.intersect import closest_hit
 from ptre_tpu.utils.config import RenderConfig
 
 
+def _select_sweep(config: RenderConfig):
+    """Pick the closest-hit sweep backend (Pallas TPU kernel vs XLA)."""
+    backend = config.intersect_backend
+    if backend == "auto":
+        # "axon" is the tunneled TPU platform name in this environment
+        backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if backend == "pallas":
+        from ptre_tpu.ops.pallas import intersect_kernel
+
+        return intersect_kernel.sweep
+    return None  # ops.intersect.sweep default
+
+
 def trace(key, origins, directions, packet, config: RenderConfig):
     """Trace one sample per ray → linear color (R, 3).
 
@@ -43,11 +56,13 @@ def trace(key, origins, directions, packet, config: RenderConfig):
       config: RenderConfig (max_depth, t range, sky, epsilons).
     """
     world_tris = packet.world_triangles()  # hoisted: shared across bounces
+    sweep_fn = _select_sweep(config)
 
     def bounce(carry, b):
         o, d, color, active = carry
         hit = closest_hit(
-            o, d, packet, world_tris, config.t_min, config.t_max, config.det_eps
+            o, d, packet, world_tris, config.t_min, config.t_max, config.det_eps,
+            sweep_fn=sweep_fn,
         )
 
         bkey = rng.fold(key, b)

@@ -29,6 +29,7 @@ spilling to HBM.
 from __future__ import annotations
 
 from flax import struct
+import jax
 import jax.numpy as jnp
 
 from ptre_tpu.ops import vecmat as vm
@@ -140,6 +141,19 @@ def triangle_hit_attrs(o, d, t, v0, v1, v2, n0, n1, n2):
     All triangle inputs are per-ray gathers of shape (R, 3). Matches the
     normal interpolation + front-face flip at `shape.cu:96-101`.
     """
+    t_re, p, n, front = triangle_hit_attrs_t(o, d, v0, v1, v2, n0, n1, n2)
+    del t_re
+    p = o + t[:, None] * d
+    return p, n, front
+
+
+def triangle_hit_attrs_t(o, d, v0, v1, v2, n0, n1, n2):
+    """Differentiable recompute of (t, p, n, front) for one triangle per ray.
+
+    Used after the detached sweep selects the best primitive: re-deriving t
+    from the gathered triangle keeps gradients w.r.t. geometry flowing
+    through an O(R) computation instead of the O(R*T) sweep.
+    """
     e1 = v1 - v0
     e2 = v2 - v0
     pvec = jnp.cross(d, e2)
@@ -149,6 +163,7 @@ def triangle_hit_attrs(o, d, t, v0, v1, v2, n0, n1, n2):
     u = jnp.einsum("rk,rk->r", tvec, pvec) * inv_det
     qvec = jnp.cross(tvec, e1)
     v = jnp.einsum("rk,rk->r", d, qvec) * inv_det
+    t = jnp.einsum("rk,rk->r", e2, qvec) * inv_det
 
     n = (1.0 - u - v)[:, None] * n0 + u[:, None] * n1 + v[:, None] * n2
     n = vm.normalize(n)
@@ -156,50 +171,92 @@ def triangle_hit_attrs(o, d, t, v0, v1, v2, n0, n1, n2):
     front = jnp.einsum("rk,rk->r", d, geo_n) < 0.0
     n = jnp.where(front[:, None], n, -n)
     p = o + t[:, None] * d
-    return p, n, front
+    return t, p, n, front
 
 
-def closest_hit(o, d, packet, world_tris, t_min, t_max, det_eps=1e-6) -> HitRecord:
+def sphere_hit_attrs_t(o, d, center, radius, t_min):
+    """Differentiable recompute of (t, p, n, front) for one sphere per ray.
+
+    Replays the near/far root rule of `shape.cu:13-46` on the single gathered
+    sphere so dt/d(center, radius) exists.
+    """
+    oc = center - o
+    halfb = jnp.einsum("rk,rk->r", d, oc)
+    c = jnp.sum(oc * oc, axis=-1) - radius * radius
+    delta = halfb * halfb - c
+    sq = jnp.sqrt(jnp.where(delta > 0.0, delta, 1.0)) * (delta > 0.0)
+    t_near = halfb - sq
+    t = jnp.where(t_near >= t_min, t_near, halfb + sq)
+    p = o + t[:, None] * d
+    n = (p - center) / radius[:, None]
+    front = jnp.einsum("rk,rk->r", d, n) < 0.0
+    n = jnp.where(front[:, None], n, -n)
+    return t, p, n, front
+
+
+def sweep(o, d, packet, world_tris, t_min, t_max, det_eps=1e-6):
+    """Brute-force closest-hit SWEEP: per-ray best primitive (detached).
+
+    Returns (i_tri, hit_tri, i_sph, hit_sph) — integer/boolean selection only;
+    the differentiable attributes are recomputed from the gathers in
+    `closest_hit`. Pure-XLA reference implementation; the Pallas TPU kernel
+    in `ptre_tpu.ops.pallas.intersect_kernel` is a drop-in replacement.
+    """
+    v0, v1, v2, _, _, _ = world_tris
+    t_tri, i_tri, hit_tri = intersect_triangles(
+        o, d, v0, v1, v2, packet.tri_valid, t_min, t_max, det_eps
+    )
+    # spheres are tested against the triangle-shrunk t_max, and an accepted
+    # sphere (incl. the far-root quirk) replaces the triangle hit
+    _, i_sph, hit_sph = intersect_spheres(
+        o, d, packet.sph_center, packet.sph_radius, packet.sph_valid,
+        t_min, jnp.where(hit_tri, t_tri, t_max),
+    )
+    return i_tri, hit_tri, i_sph, hit_sph
+
+
+def closest_hit(
+    o, d, packet, world_tris, t_min, t_max, det_eps=1e-6, sweep_fn=None
+) -> HitRecord:
     """Scene closest-hit: triangles first, then spheres (`path_tracer.cu:252-295`).
+
+    Two-phase structure: a DETACHED O(R*P) selection sweep (stop-gradient —
+    discrete visibility is treated as locally constant, the standard
+    detached-sampling estimator), then a differentiable O(R) recompute of
+    (t, position, normal) from the selected primitive's gathered data. The
+    backward pass therefore never stores the sweep.
 
     Args:
       o, d: (R, 3) ray origins / unit directions.
       packet: ScenePacket (for sphere arrays, material ids, masks).
       world_tris: (v0, v1, v2, n0, n1, n2) world-space from
         `packet.world_triangles()` — hoisted out so the bounce scan reuses it.
+      sweep_fn: optional replacement sweep (e.g. the Pallas TPU kernel) with
+        the same signature/returns as `sweep`.
     """
     v0, v1, v2, n0, n1, n2 = world_tris
 
-    t_tri, i_tri, hit_tri = intersect_triangles(
-        o, d, v0, v1, v2, packet.tri_valid, t_min, t_max, det_eps
-    )
-    # spheres are tested against the triangle-shrunk t_max, and an accepted
-    # sphere (incl. the far-root quirk) replaces the triangle hit
-    t_sph, i_sph, hit_sph = intersect_spheres(
-        o,
-        d,
-        packet.sph_center,
-        packet.sph_radius,
-        packet.sph_valid,
-        t_min,
-        jnp.where(hit_tri, t_tri, t_max),
+    sg = jax.lax.stop_gradient
+    i_tri, hit_tri, i_sph, hit_sph = (sweep_fn or sweep)(
+        sg(o), sg(d), jax.tree.map(sg, packet), jax.tree.map(sg, world_tris),
+        t_min, t_max, det_eps,
     )
 
     use_sph = hit_sph
     hit = hit_tri | hit_sph
-    t = jnp.where(use_sph, t_sph, t_tri)
 
-    # gather per-ray best-primitive attributes
+    # differentiable recompute on the selected primitive only
     g = lambda a, i: a[i]
-    p_tri, n_tri, f_tri = triangle_hit_attrs(
-        o, d, t_tri, g(v0, i_tri), g(v1, i_tri), g(v2, i_tri),
+    t_tri, p_tri, n_tri, f_tri = triangle_hit_attrs_t(
+        o, d, g(v0, i_tri), g(v1, i_tri), g(v2, i_tri),
         g(n0, i_tri), g(n1, i_tri), g(n2, i_tri),
     )
-    p_sph, n_sph, f_sph = sphere_hit_attrs(
-        o, d, t_sph, packet.sph_center[i_sph], packet.sph_radius[i_sph]
+    t_sph, p_sph, n_sph, f_sph = sphere_hit_attrs_t(
+        o, d, packet.sph_center[i_sph], packet.sph_radius[i_sph], t_min
     )
 
     sel = use_sph[:, None]
+    t = jnp.where(use_sph, t_sph, jnp.where(hit_tri, t_tri, _BIG))
     position = jnp.where(sel, p_sph, p_tri)
     normal = jnp.where(sel, n_sph, n_tri)
     front = jnp.where(use_sph, f_sph, f_tri)

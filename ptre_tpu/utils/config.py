@@ -43,6 +43,9 @@ class RenderConfig:
     #: (ghosting; manual right-click reset — `application.cu:87-89`), so the
     #: flag-compatible default is False.
     reset_on_edit: bool = False
+    #: closest-hit sweep backend: "auto" (Pallas kernel on TPU, XLA
+    #: elsewhere), "xla", or "pallas"
+    intersect_backend: str = "auto"
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:

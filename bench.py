@@ -43,7 +43,12 @@ def main():
     accum = pt.AccumState.create(H, W)
     key = rng.key_for(cfg.seed)
 
-    ray_chunk = (W * H) // 8  # bound the (rays x primitives) working set
+    # the Pallas sweep never materializes the (rays x primitives) working
+    # set, so no chunking on TPU; the XLA fallback (CPU) still chunks
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() in ("tpu", "axon")
+    ray_chunk = 0 if on_tpu else (W * H) // 8
 
     # warmup / compile (fetch a scalar: the experimental tunnel platform's
     # block_until_ready does not reliably wait, so force a host readback)

@@ -117,6 +117,50 @@ def _mt_t(o, d, v0, e1, e2, t_min, t_max, det_eps):
     return t, accepted
 
 
+def _plane_edges_t(o, d, v0, v1, v2, eps):
+    """Alternate triangle test: plane + inside/outside edge tests.
+
+    Port of the reference's `#else` branch (`shape.cu:104-148`, compiled out
+    by default via MOLLER_TRUMBORE=1 at `shape.cu:4`) — kept for algorithm
+    parity and as an independent cross-check of Möller–Trumbore. Note the
+    reference's quirks are preserved: t is only rejected when negative (no
+    t_min/t_max) in the branch itself; callers apply the range.
+    """
+    e1 = v1 - v0
+    e2 = v2 - v0
+    e12 = v2 - v1
+    normal = jnp.cross(e1, e2)
+    ndotd = jnp.einsum("rk,tk->rt", d, normal)
+    denom = jnp.where(jnp.abs(ndotd) < eps, 1.0, ndotd)
+    dist = -jnp.einsum("tk,tk->t", normal, v0)
+    t = -(jnp.einsum("rk,tk->rt", o, normal) + dist[None, :]) / denom
+
+    p = o[:, None, :] + t[..., None] * d[:, None, :]  # (R, T, 3)
+
+    def outside(a, edge):
+        ep = p - a[None, :, :]
+        n2 = jnp.cross(jnp.broadcast_to(edge[None], ep.shape), ep)
+        return jnp.einsum("rtk,tk->rt", n2, normal) < 0.0
+
+    inside = (
+        ~outside(v0, e1) & ~outside(v1, e12)
+        & (jnp.einsum("rtk,tk->rt", jnp.cross(p - v0[None], jnp.broadcast_to(e2[None], p.shape)), normal) >= 0.0)
+    )
+    accepted = (jnp.abs(ndotd) >= eps) & (t >= 0.0) & inside
+    return t, accepted
+
+
+def intersect_triangles_plane_edges(o, d, v0, v1, v2, valid, t_min, t_max, eps=1e-6):
+    """Closest triangle via the plane/edge-test path (`shape.cu:104-148`)."""
+    t, accepted = _plane_edges_t(o, d, v0, v1, v2, eps)
+    accepted = accepted & valid[None, :] & (t >= t_min) & (t <= jnp.asarray(t_max)[..., None])
+    t_masked = jnp.where(accepted, t, _BIG)
+    idx = jnp.argmin(t_masked, axis=-1)
+    best_t = jnp.take_along_axis(t_masked, idx[:, None], axis=-1)[:, 0]
+    hit = jnp.any(accepted, axis=-1)
+    return jnp.where(hit, best_t, _BIG), idx, hit
+
+
 def intersect_triangles(o, d, v0, v1, v2, valid, t_min, t_max, det_eps=1e-6):
     """Closest accepted triangle per ray → (t, index, hit).
 
@@ -245,14 +289,21 @@ def closest_hit(
     use_sph = hit_sph
     hit = hit_tri | hit_sph
 
-    # differentiable recompute on the selected primitive only
-    g = lambda a, i: a[i]
+    # differentiable recompute on the selected primitive only; ONE packed
+    # (R, 18) gather instead of six (R, 3) gathers — the gather was the
+    # second-largest cost after the sweep at 1080p
+    tri_packed = jnp.concatenate([v0, v1, v2, n0, n1, n2], axis=1)  # (T, 18)
+    gt = tri_packed[i_tri]  # (R, 18)
     t_tri, p_tri, n_tri, f_tri = triangle_hit_attrs_t(
-        o, d, g(v0, i_tri), g(v1, i_tri), g(v2, i_tri),
-        g(n0, i_tri), g(n1, i_tri), g(n2, i_tri),
+        o, d, gt[:, 0:3], gt[:, 3:6], gt[:, 6:9],
+        gt[:, 9:12], gt[:, 12:15], gt[:, 15:18],
     )
+    sph_packed = jnp.concatenate(
+        [packet.sph_center, packet.sph_radius[:, None]], axis=1
+    )  # (S, 4)
+    gs = sph_packed[i_sph]
     t_sph, p_sph, n_sph, f_sph = sphere_hit_attrs_t(
-        o, d, packet.sph_center[i_sph], packet.sph_radius[i_sph], t_min
+        o, d, gs[:, 0:3], gs[:, 3], t_min
     )
 
     sel = use_sph[:, None]

@@ -119,6 +119,13 @@ def scatter(
     )
 
 
+def emitted(mat_kind, mat_albedo, mat_param):
+    """Emitted radiance per material row (reference `material.cu:59-62`):
+    strength * color for EMISSIVE, zero otherwise."""
+    e = mat_param[..., None] * mat_albedo
+    return jnp.where((mat_kind == KIND_EMISSIVE)[..., None], e, 0.0)
+
+
 def sky_attenuation(d, sky_bottom, sky_top):
     """Miss shading: vertical gradient (`path_tracer.cu:307-316`).
 

@@ -32,9 +32,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128  # rays per grid step
-TILE_P = 256  # primitives per inner-loop chunk
+LANES = 128  # minimum rays per grid step (lane width)
+TILE_P = 256  # max primitives per inner-loop chunk
+#: per-(ray, primitive) pair-block element budget: bounds VMEM temporaries
+#: (~13 live f32 blocks → 13 * 4 B * budget ≈ 1.7 MB at 32768)
+PAIR_BUDGET = 32768
 _BIG = 3e38
+
+
+def _tile_for(n: int) -> int:
+    """Adaptive primitive tile: small scenes shouldn't pay for 256 padded
+    rows (the demo scene has 12 triangles — padding to 256 wastes 95% of the
+    VPU work). Round up to the 8-sublane f32 tile, cap at TILE_P."""
+    return min(TILE_P, max(8, ((n + 7) // 8) * 8))
+
+
+def _lanes_for(tile_p: int) -> int:
+    """Adaptive ray-lane width: with tiny primitive tiles a 128-ray grid
+    step is launch-overhead-bound (a 1080p frame is 16200 steps), so widen
+    the step until the pair block hits PAIR_BUDGET."""
+    lanes = LANES
+    while lanes < 2048 and tile_p * (lanes * 2) <= PAIR_BUDGET:
+        lanes *= 2
+    return lanes
 
 
 def _pad_to(x, m, axis=0, fill=0):
@@ -54,22 +74,22 @@ def pack_rays(o, d):
     return _pad_to(rows, LANES, axis=1)
 
 
-def pack_triangles(v0, v1, v2, valid):
+def pack_triangles(v0, v1, v2, valid, tile=TILE_P):
     """(T,3)x3 + (T,) → (T_pad, 16) [v0 v1 v2 valid pad...] column layout."""
     cols = jnp.concatenate(
         [v0, v1, v2, valid[:, None].astype(jnp.float32),
          jnp.zeros((v0.shape[0], 6), jnp.float32)], axis=1,
     )
-    return _pad_to(cols, TILE_P, axis=0)
+    return _pad_to(cols, tile, axis=0)
 
 
-def pack_spheres(center, radius, valid):
+def pack_spheres(center, radius, valid, tile=TILE_P):
     """(S,3)+(S,)+(S,) → (S_pad, 16) [c r valid pad...] column layout."""
     cols = jnp.concatenate(
         [center, radius[:, None], valid[:, None].astype(jnp.float32),
          jnp.zeros((center.shape[0], 11), jnp.float32)], axis=1,
     )
-    return _pad_to(cols, TILE_P, axis=0)
+    return _pad_to(cols, tile, axis=0)
 
 
 def _sweep_kernel(
@@ -81,6 +101,9 @@ def _sweep_kernel(
     hit_tri_ref,  # (1, LANES) int32 out
     i_sph_ref,
     hit_sph_ref,
+    *,
+    tri_tile: int,
+    sph_tile: int,
 ):
     t_min = scalar_ref[0]
     t_max = scalar_ref[1]
@@ -93,12 +116,16 @@ def _sweep_kernel(
     dy = rays_ref[4:5, :]
     dz = rays_ref[5:6, :]
 
-    n_tri_tiles = tris_ref.shape[0] // TILE_P
-    n_sph_tiles = sphs_ref.shape[0] // TILE_P
+    n_tri_tiles = tris_ref.shape[0] // tri_tile
+    n_sph_tiles = sphs_ref.shape[0] // sph_tile
 
-    def tri_tile(jt, carry):
+    # NOTE: both tile loops are PYTHON-unrolled with static slices — Mosaic
+    # cannot legalize a dynamic memref slice of the resident table inside an
+    # scf.for (fails for any multi-tile scene); static slices also let it
+    # schedule each tile's loads ahead of the previous tile's math.
+    def tri_body(jt, carry):
         best_t, best_i, any_hit = carry
-        blk = tris_ref[pl.ds(jt * TILE_P, TILE_P), :]  # (TILE_P, 16)
+        blk = tris_ref[jt * tri_tile : (jt + 1) * tri_tile, :]  # (tri_tile, 16)
         v0x, v0y, v0z = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
         v1x, v1y, v1z = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
         v2x, v2y, v2z = blk[:, 6:7], blk[:, 7:8], blk[:, 8:9]
@@ -133,24 +160,28 @@ def _sweep_kernel(
         tile_min = jnp.min(tm, axis=0, keepdims=True)  # (1, LANES)
         tile_arg = jnp.argmin(tm, axis=0).reshape(1, -1).astype(jnp.int32)
         upd = tile_min < best_t
-        best_i = jnp.where(upd, jt * TILE_P + tile_arg, best_i)
+        best_i = jnp.where(upd, jt * tri_tile + tile_arg, best_i)
         best_t = jnp.where(upd, tile_min, best_t)
         any_hit = any_hit | jnp.any(acc, axis=0, keepdims=True)
         return best_t, best_i, any_hit
 
+    lanes = rays_ref.shape[1]
     init = (
-        jnp.full((1, LANES), _BIG, jnp.float32),
-        jnp.zeros((1, LANES), jnp.int32),
-        jnp.zeros((1, LANES), jnp.bool_),
+        jnp.full((1, lanes), _BIG, jnp.float32),
+        jnp.zeros((1, lanes), jnp.int32),
+        jnp.zeros((1, lanes), jnp.bool_),
     )
-    tri_t, tri_i, tri_hit = jax.lax.fori_loop(0, n_tri_tiles, tri_tile, init)
+    carry = init
+    for jt in range(n_tri_tiles):
+        carry = tri_body(jt, carry)
+    tri_t, tri_i, tri_hit = carry
 
     # spheres vs the triangle-shrunk closest (`path_tracer.cu:285-295`)
     tri_best = jnp.where(tri_hit, tri_t, t_max)
 
-    def sph_tile(js, carry):
+    def sph_body(js, carry):
         best_t, best_i, any_hit = carry
-        blk = sphs_ref[pl.ds(js * TILE_P, TILE_P), :]
+        blk = sphs_ref[js * sph_tile : (js + 1) * sph_tile, :]
         cx, cy, cz = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
         r = blk[:, 3:4]
         valid = blk[:, 4:5] > 0.5
@@ -173,12 +204,15 @@ def _sweep_kernel(
         tile_min = jnp.min(tm, axis=0, keepdims=True)
         tile_arg = jnp.argmin(tm, axis=0).reshape(1, -1).astype(jnp.int32)
         upd = tile_min < best_t
-        best_i = jnp.where(upd, js * TILE_P + tile_arg, best_i)
+        best_i = jnp.where(upd, js * sph_tile + tile_arg, best_i)
         best_t = jnp.where(upd, tile_min, best_t)
         any_hit = any_hit | jnp.any(acc, axis=0, keepdims=True)
         return best_t, best_i, any_hit
 
-    _, sph_i, sph_hit = jax.lax.fori_loop(0, n_sph_tiles, sph_tile, init)
+    carry = init
+    for js in range(n_sph_tiles):
+        carry = sph_body(js, carry)
+    _, sph_i, sph_hit = carry
 
     i_tri_ref[:, :] = tri_i
     hit_tri_ref[:, :] = tri_hit.astype(jnp.int32)
@@ -186,23 +220,26 @@ def _sweep_kernel(
     hit_sph_ref[:, :] = sph_hit.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def sweep_pallas_packed(scalars, rays, tris, sphs, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("tri_tile", "sph_tile", "lanes", "interpret")
+)
+def sweep_pallas_packed(scalars, rays, tris, sphs, tri_tile=TILE_P,
+                        sph_tile=TILE_P, lanes=LANES, interpret=False):
     """Run the sweep kernel on packed arrays → 4 x (R_pad,) int32."""
     r_pad = rays.shape[1]
-    grid = (r_pad // LANES,)
+    grid = (r_pad // lanes,)
     out_shape = [jax.ShapeDtypeStruct((1, r_pad), jnp.int32)] * 4
     outs = pl.pallas_call(
-        _sweep_kernel,
+        functools.partial(_sweep_kernel, tri_tile=tri_tile, sph_tile=sph_tile),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, lanes), lambda i: (0, i), memory_space=pltpu.VMEM)
         ] * 4,
         out_shape=out_shape,
         interpret=interpret,
@@ -215,11 +252,17 @@ def sweep(o, d, packet, world_tris, t_min, t_max, det_eps=1e-6, interpret=False)
     v0, v1, v2, _, _, _ = world_tris
     R = o.shape[0]
     scalars = jnp.array([t_min, t_max, det_eps, 0.0], jnp.float32)
-    rays = pack_rays(o, d)
-    tris = pack_triangles(v0, v1, v2, packet.tri_valid)
-    sphs = pack_spheres(packet.sph_center, packet.sph_radius, packet.sph_valid)
+    tri_tile = _tile_for(v0.shape[0])
+    sph_tile = _tile_for(packet.sph_center.shape[0])
+    lanes = _lanes_for(max(tri_tile, sph_tile))
+    rows = jnp.concatenate([o.T, d.T, jnp.zeros((2, R), o.dtype)], axis=0)
+    rays = _pad_to(rows, lanes, axis=1)
+    tris = pack_triangles(v0, v1, v2, packet.tri_valid, tri_tile)
+    sphs = pack_spheres(packet.sph_center, packet.sph_radius,
+                        packet.sph_valid, sph_tile)
     i_tri, hit_tri, i_sph, hit_sph = sweep_pallas_packed(
-        scalars, rays, tris, sphs, interpret=interpret
+        scalars, rays, tris, sphs, tri_tile=tri_tile, sph_tile=sph_tile,
+        lanes=lanes, interpret=interpret,
     )
     cut = lambda x: x[0, :R]
     return (

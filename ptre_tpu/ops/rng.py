@@ -40,6 +40,12 @@ def uniform(key, shape=(), minval=0.0, maxval=1.0, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, minval, maxval)
 
 
+def uint(key, shape=(), minval=0, maxval=2**31 - 1):
+    """Uniform integers in [minval, maxval] inclusive (reference
+    `random.cu:10-20` host/device `random::uint`)."""
+    return jax.random.randint(key, shape, minval, maxval + 1, jnp.uint32)
+
+
 def pixel_jitter(key, shape):
     """Sub-pixel jitter in [-0.5, 0.5) per pixel, 2 components (`camera.cu:24-25`)."""
     return jax.random.uniform(key, shape + (2,), jnp.float32, -0.5, 0.5)

@@ -97,6 +97,32 @@ def normalize(v, eps: float = 0.0):
     return v * inv
 
 
+def angle(a, b):
+    """Angle between vectors in radians (reference `vector.h` angle3)."""
+    la = length(a)
+    lb = length(b)
+    denom = jnp.where(la * lb > 0, la * lb, 1.0)
+    return jnp.arccos(jnp.clip(dot(a, b) / denom, -1.0, 1.0))
+
+
+def clamp_length(v, max_len):
+    """Clamp a vector's length (reference `vector.h` clamp_length)."""
+    l = length(v)[..., None]
+    scale = jnp.where(l > max_len, max_len / jnp.where(l > 0, l, 1.0), 1.0)
+    return v * scale
+
+
+def is_nan(x):
+    """Any-NaN predicate over the trailing dims (reference `vector.h:236-238`,
+    `matrix.cu:307-313`)."""
+    return jnp.any(jnp.isnan(x), axis=tuple(range(-min(x.ndim, 2), 0)))
+
+
+def is_inf(x):
+    """Any-inf predicate (reference `matrix.cu:292-305`)."""
+    return jnp.any(jnp.isinf(x), axis=tuple(range(-min(x.ndim, 2), 0)))
+
+
 def reflect(v, n):
     """Reflect v about normal n (reference `vector.h` reflect)."""
     return v - 2.0 * dot(v, n)[..., None] * n

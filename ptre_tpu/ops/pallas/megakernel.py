@@ -1,0 +1,502 @@
+"""Fused path-tracing megakernel: whole bounce loop in one Pallas kernel.
+
+The reference is a CUDA megakernel — one thread per pixel running the full
+iterative bounce loop (`path_tracer.cu:231-366`). The staged TPU pipeline
+(sweep kernel + XLA shading) pays per-bounce HBM round trips for rays, hit
+records and gathers; this kernel is the TPU-native megakernel reborn:
+
+  * rays live in vector registers/VMEM for the ENTIRE path — one dispatch
+    per sample, zero HBM traffic per bounce beyond the resident scene;
+  * the closest-hit sweep is the same rays-on-lanes / primitives-on-sublanes
+    design as `intersect_kernel`;
+  * the winning primitive's 18 attributes are fetched with a one-hot MXU
+    matmul per tile (`onehotᵀ @ table`) — the MXU is otherwise idle, so the
+    gather is effectively free and avoids cross-lane dynamic indexing, which
+    the VPU cannot do;
+  * shading (ONB build, cosine sampling, Oren–Nayar A/B) runs on per-lane
+    (1, lanes) vectors — negligible next to the sweep — with the azimuthal
+    cos(phi_i - phi_o) computed by planar projection instead of atan2 and
+    sin(alpha)/tan(beta) from cosines instead of arccos/tan: mathematically
+    identical to `material.cu:22-40` (including its world-space-frame
+    quirk), transcendental-free;
+  * sampling uses the TPU hardware PRNG (`pltpu.prng_*`), seeded per
+    (sample, ray-tile): a different counter-based stream than the staged
+    path's threefry — images agree in expectation (validated statistically
+    in tests), exactly like the curand-vs-threefry relationship (SURVEY §7
+    "RNG parity").
+
+Integrator semantics are the reference contract, identical to
+`ops.integrator.trace`: terminal emissive as multiplicative attenuation, sky
+gradient on miss, degenerate-pdf fallback, shadow-epsilon offsets, fixed
+max_depth with masked terminated lanes, per-sample clamp done by the caller.
+
+Forward-only: the gradient/training path keeps the staged closest-hit with
+its detached-sweep + differentiable-recompute structure.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ptre_tpu.ops import rng as _rng
+from ptre_tpu.ops.pallas.intersect_kernel import (
+    _lanes_for, _pad_to, _tile_for,
+)
+
+_BIG = 3e38
+_PI = 3.14159265358979
+_TAU = 2.0 * _PI
+_MAX_MATS = 8
+
+
+def pack_tri32(v0, v1, v2, n0, n1, n2, valid, mat, tile):
+    """(T, 32): v0 v1 v2 (0-8), n0 n1 n2 (9-17), valid (18), mat (19)."""
+    T = v0.shape[0]
+    cols = jnp.concatenate(
+        [v0, v1, v2, n0, n1, n2, valid[:, None].astype(jnp.float32),
+         mat[:, None].astype(jnp.float32), jnp.zeros((T, 12), jnp.float32)],
+        axis=1,
+    )
+    return _pad_to(cols, tile, axis=0)
+
+
+def pack_sph16(center, radius, valid, mat, tile):
+    """(S, 16): center (0-2), radius (3), valid (4), mat (5)."""
+    S = center.shape[0]
+    cols = jnp.concatenate(
+        [center, radius[:, None], valid[:, None].astype(jnp.float32),
+         mat[:, None].astype(jnp.float32), jnp.zeros((S, 10), jnp.float32)],
+        axis=1,
+    )
+    return _pad_to(cols, tile, axis=0)
+
+
+def pack_mats(kind, albedo, param):
+    """(8, 8): kind (0), albedo (1-3), param (4); rows padded to 8."""
+    M = kind.shape[0]
+    assert M <= _MAX_MATS, f"megakernel supports <= {_MAX_MATS} materials, got {M}"
+    cols = jnp.concatenate(
+        [kind[:, None].astype(jnp.float32), albedo, param[:, None],
+         jnp.zeros((M, 3), jnp.float32)], axis=1,
+    )
+    return _pad_to(cols, _MAX_MATS, axis=0)
+
+
+def _u01(bits):
+    """uint32 bits → float in [0, 1] (reference `random.cu:66-70` scaling)."""
+    return bits.astype(jnp.float32) * jnp.float32(1.0 / 4294967295.0)
+
+
+def _mega_kernel(
+    scal_ref,  # SMEM f32 (8,): t_min, t_max, det_eps, shadow_eps, pdf_eps,
+    #             sky_b0..2 — plus sky_top passed via scal2
+    sky_ref,  # SMEM f32 (8,): bottom rgb, top rgb, pad
+    seed_ref,  # SMEM i32 (1,)
+    rays_ref,  # (8, lanes) block
+    urand_ref,  # (2*max_depth, lanes) block: precomputed uniforms (or 1x1 dummy)
+    tri_ref,  # (T_pad, 32) resident
+    sph_ref,  # (S_pad, 16) resident
+    mat_ref,  # (8, 8) SMEM
+    out_ref,  # (4, lanes) block out: rgb + spare
+    *,
+    tri_tile: int,
+    sph_tile: int,
+    max_depth: int,
+    num_mats: int,
+    external_rng: bool,
+):
+    t_min = scal_ref[0]
+    t_max = scal_ref[1]
+    det_eps = scal_ref[2]
+    shadow_eps = scal_ref[3]
+    pdf_eps = scal_ref[4]
+
+    if not external_rng:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    lanes = rays_ref.shape[1]
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    cr = jnp.ones((1, lanes), jnp.float32)
+    cg = jnp.ones((1, lanes), jnp.float32)
+    cb = jnp.ones((1, lanes), jnp.float32)
+    active = jnp.ones((1, lanes), jnp.bool_)
+
+    n_tri_tiles = tri_ref.shape[0] // tri_tile
+    n_sph_tiles = sph_ref.shape[0] // sph_tile
+
+    for bounce in range(max_depth):
+        # ---- closest-hit sweep (same structure as intersect_kernel) -------
+        best_t = jnp.full((1, lanes), _BIG, jnp.float32)
+        best_i = jnp.zeros((1, lanes), jnp.int32)
+        tri_hit = jnp.zeros((1, lanes), jnp.bool_)
+        for jt in range(n_tri_tiles):
+            blk = tri_ref[jt * tri_tile : (jt + 1) * tri_tile, :]
+            v0x, v0y, v0z = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
+            v1x, v1y, v1z = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
+            v2x, v2y, v2z = blk[:, 6:7], blk[:, 7:8], blk[:, 8:9]
+            valid = blk[:, 18:19] > 0.5
+            e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+            e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < det_eps, 1.0, det)
+            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            acc = (
+                (jnp.abs(det) >= det_eps)
+                & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= t_min) & (t <= t_max) & valid
+            )
+            tm = jnp.where(acc, t, _BIG)
+            tile_min = jnp.min(tm, axis=0, keepdims=True)
+            tile_arg = jnp.argmin(tm, axis=0).reshape(1, -1).astype(jnp.int32)
+            upd = tile_min < best_t
+            best_i = jnp.where(upd, jt * tri_tile + tile_arg, best_i)
+            best_t = jnp.where(upd, tile_min, best_t)
+            tri_hit = tri_hit | jnp.any(acc, axis=0, keepdims=True)
+
+        tri_best = jnp.where(tri_hit, best_t, t_max)
+
+        sph_t = jnp.full((1, lanes), _BIG, jnp.float32)
+        sph_i = jnp.zeros((1, lanes), jnp.int32)
+        sph_hit = jnp.zeros((1, lanes), jnp.bool_)
+        for js in range(n_sph_tiles):
+            blk = sph_ref[js * sph_tile : (js + 1) * sph_tile, :]
+            cx, cy, cz = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
+            r = blk[:, 3:4]
+            valid = blk[:, 4:5] > 0.5
+            ocx, ocy, ocz = cx - ox, cy - oy, cz - oz
+            halfb = dx * ocx + dy * ocy + dz * ocz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            delta = halfb * halfb - c
+            sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+            t_near = halfb - sq
+            t = jnp.where(t_near >= t_min, t_near, halfb + sq)
+            acc = (delta >= 0.0) & (t_near <= tri_best) & (t >= t_min) & valid
+            tm = jnp.where(acc, t, _BIG)
+            tile_min = jnp.min(tm, axis=0, keepdims=True)
+            tile_arg = jnp.argmin(tm, axis=0).reshape(1, -1).astype(jnp.int32)
+            upd = tile_min < sph_t
+            sph_i = jnp.where(upd, js * sph_tile + tile_arg, sph_i)
+            sph_t = jnp.where(upd, tile_min, sph_t)
+            sph_hit = sph_hit | jnp.any(acc, axis=0, keepdims=True)
+
+        hit = tri_hit | sph_hit
+        use_sph = sph_hit
+
+        # ---- winner attribute gather: one-hot MXU matmul per tile ---------
+        tri_attr = jnp.zeros((32, lanes), jnp.float32)
+        for jt in range(n_tri_tiles):
+            blk = tri_ref[jt * tri_tile : (jt + 1) * tri_tile, :]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tri_tile, lanes), 0)
+            onehot = (rows + jt * tri_tile == best_i).astype(jnp.float32)
+            tri_attr = tri_attr + jax.lax.dot_general(
+                blk, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        sph_attr = jnp.zeros((16, lanes), jnp.float32)
+        for js in range(n_sph_tiles):
+            blk = sph_ref[js * sph_tile : (js + 1) * sph_tile, :]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (sph_tile, lanes), 0)
+            onehot = (rows + js * sph_tile == sph_i).astype(jnp.float32)
+            sph_attr = sph_attr + jax.lax.dot_general(
+                blk, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # ---- per-lane triangle attrs (triangle_hit_attrs_t, lane-wise) ----
+        gv = lambda i: tri_attr[i : i + 1, :]
+        e1x, e1y, e1z = gv(3) - gv(0), gv(4) - gv(1), gv(5) - gv(2)
+        e2x, e2y, e2z = gv(6) - gv(0), gv(7) - gv(1), gv(8) - gv(2)
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+        tvx, tvy, tvz = ox - gv(0), oy - gv(1), oz - gv(2)
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        t_tri = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        w_ = 1.0 - u - v
+        tnx = w_ * gv(9) + u * gv(12) + v * gv(15)
+        tny = w_ * gv(10) + u * gv(13) + v * gv(16)
+        tnz = w_ * gv(11) + u * gv(14) + v * gv(17)
+        tlen = jnp.sqrt(tnx * tnx + tny * tny + tnz * tnz)
+        tinv = jnp.where(tlen > 0.0, 1.0 / jnp.where(tlen > 0.0, tlen, 1.0), 0.0)
+        tnx, tny, tnz = tnx * tinv, tny * tinv, tnz * tinv
+        gnx = e1y * e2z - e1z * e2y
+        gny = e1z * e2x - e1x * e2z
+        gnz = e1x * e2y - e1y * e2x
+        tri_front = (dx * gnx + dy * gny + dz * gnz) < 0.0
+        tsign = jnp.where(tri_front, 1.0, -1.0)
+        tnx, tny, tnz = tnx * tsign, tny * tsign, tnz * tsign
+        tri_mat = tri_attr[19:20, :]
+
+        # ---- per-lane sphere attrs (sphere_hit_attrs_t, lane-wise) --------
+        scx, scy, scz = sph_attr[0:1, :], sph_attr[1:2, :], sph_attr[2:3, :]
+        srad = sph_attr[3:4, :]
+        ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
+        halfb = dx * ocx + dy * ocy + dz * ocz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - srad * srad
+        delta = halfb * halfb - c
+        sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+        t_near = halfb - sq
+        t_s = jnp.where(t_near >= t_min, t_near, halfb + sq)
+        inv_r = 1.0 / jnp.where(srad == 0.0, 1.0, srad)
+        spx = ox + t_s * dx
+        spy = oy + t_s * dy
+        spz = oz + t_s * dz
+        snx = (spx - scx) * inv_r
+        sny = (spy - scy) * inv_r
+        snz = (spz - scz) * inv_r
+        s_front = (dx * snx + dy * sny + dz * snz) < 0.0
+        ssign = jnp.where(s_front, 1.0, -1.0)
+        snx, sny, snz = snx * ssign, sny * ssign, snz * ssign
+        sph_mat = sph_attr[5:6, :]
+
+        # ---- select primitive ---------------------------------------------
+        t_hit = jnp.where(use_sph, t_s, t_tri)
+        px = jnp.where(use_sph, spx, ox + t_tri * dx)
+        py = jnp.where(use_sph, spy, oy + t_tri * dy)
+        pz = jnp.where(use_sph, spz, oz + t_tri * dz)
+        nx = jnp.where(use_sph, snx, tnx)
+        ny = jnp.where(use_sph, sny, tny)
+        nz = jnp.where(use_sph, snz, tnz)
+        mat_id = jnp.where(use_sph, sph_mat, tri_mat)
+
+        # ---- material row (unrolled select over the tiny table) -----------
+        m_kind = jnp.zeros((1, lanes), jnp.float32)
+        m_ar = jnp.zeros((1, lanes), jnp.float32)
+        m_ag = jnp.zeros((1, lanes), jnp.float32)
+        m_ab = jnp.zeros((1, lanes), jnp.float32)
+        m_param = jnp.zeros((1, lanes), jnp.float32)
+        for m in range(num_mats):
+            is_m = jnp.abs(mat_id - m) < 0.5
+            m_kind = jnp.where(is_m, mat_ref[m, 0], m_kind)
+            m_ar = jnp.where(is_m, mat_ref[m, 1], m_ar)
+            m_ag = jnp.where(is_m, mat_ref[m, 2], m_ag)
+            m_ab = jnp.where(is_m, mat_ref[m, 3], m_ab)
+            m_param = jnp.where(is_m, mat_ref[m, 4], m_param)
+        is_emissive = m_kind > 0.5
+
+        # ---- cosine-weighted sample in the ONB (onb.h + random.cu:96-107) -
+        if external_rng:
+            u1 = urand_ref[2 * bounce : 2 * bounce + 1, :]
+            u2 = urand_ref[2 * bounce + 1 : 2 * bounce + 2, :]
+        else:
+            bits = pltpu.prng_random_bits((8, lanes))
+            u1 = _u01(bits[0:1, :])
+            u2 = _u01(bits[1:2, :])
+        phi = _TAU * u1
+        sr_ = jnp.sqrt(u2)
+        lx = jnp.cos(phi) * sr_
+        ly = jnp.sin(phi) * sr_
+        lz = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
+        # ONB: w = n (unit); a = |w.x|>0.9 ? (0,1,0) : (1,0,0)
+        big_x = jnp.abs(nx) > 0.9
+        ax = jnp.where(big_x, 0.0, 1.0)
+        ay = jnp.where(big_x, 1.0, 0.0)
+        # v = normalize(w x a); u = v x w
+        vx = ny * 0.0 - nz * ay
+        vy = nz * ax - nx * 0.0
+        vz = nx * ay - ny * ax
+        vlen = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+        vinv = 1.0 / jnp.where(vlen > 0.0, vlen, 1.0)
+        vx, vy, vz = vx * vinv, vy * vinv, vz * vinv
+        ux = vy * nz - vz * ny
+        uy = vz * nx - vx * nz
+        uz = vx * ny - vy * nx
+        wix = lx * ux + ly * vx + lz * nx
+        wiy = lx * uy + ly * vy + lz * ny
+        wiz = lx * uz + ly * vz + lz * nz
+
+        ndotwi = nx * wix + ny * wiy + nz * wiz
+        pdf = ndotwi * jnp.float32(1.0 / _PI)
+        degen = pdf < pdf_eps
+        wix = jnp.where(degen, nx, wix)
+        wiy = jnp.where(degen, ny, wiy)
+        wiz = jnp.where(degen, nz, wiz)
+        pdf = jnp.where(degen, jnp.float32(1.0 / _PI), pdf)
+        ndotwi = jnp.where(degen, 1.0, ndotwi)
+        cosw = jnp.maximum(0.0, ndotwi)
+
+        # ---- Oren–Nayar A/B (material.cu:20-41), transcendental-free ------
+        sigma = jnp.clip(m_param, 0.0, 1.0)
+        s2 = sigma * sigma
+        A = 1.0 - 0.5 * s2 / (s2 + 0.33)
+        B = 0.45 * s2 / (s2 + 0.09)
+        wox, woy, woz = -dx, -dy, -dz
+        # cos(phi_i - phi_o) via xy-plane projections (atan2-free; the
+        # reference's phi are world-space atan2(w.y, w.x) — same frame)
+        li = jnp.sqrt(wix * wix + wiy * wiy)
+        lo = jnp.sqrt(wox * wox + woy * woy)
+        ci_ = jnp.where(li > 1e-12, wix / jnp.where(li > 0, li, 1.0), 1.0)
+        si_ = jnp.where(li > 1e-12, wiy / jnp.where(li > 0, li, 1.0), 0.0)
+        co_ = jnp.where(lo > 1e-12, wox / jnp.where(lo > 0, lo, 1.0), 1.0)
+        so_ = jnp.where(lo > 1e-12, woy / jnp.where(lo > 0, lo, 1.0), 0.0)
+        cos_dphi = ci_ * co_ + si_ * so_
+        cos_to = jnp.clip(wox * nx + woy * ny + woz * nz, 0.0, 1.0)
+        cos_ti = jnp.clip(ndotwi, 0.0, 1.0)
+        # alpha = max(theta_i, theta_o) → cos_alpha = min(cos_i, cos_o)
+        cos_a = jnp.minimum(cos_ti, cos_to)
+        cos_b = jnp.maximum(cos_ti, cos_to)
+        sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+        tan_b = jnp.sqrt(jnp.maximum(1.0 - cos_b * cos_b, 0.0)) / jnp.maximum(
+            cos_b, 1e-6
+        )
+        coeff = (A + B * cos_dphi * sin_a * tan_b) * jnp.float32(1.0 / _PI)
+
+        on_r = m_ar * coeff
+        on_g = m_ag * coeff
+        on_b = m_ab * coeff
+        em_r = m_param * m_ar
+        em_g = m_param * m_ag
+        em_b = m_param * m_ab
+        att_r = jnp.where(is_emissive, em_r, on_r)
+        att_g = jnp.where(is_emissive, em_g, on_g)
+        att_b = jnp.where(is_emissive, em_b, on_b)
+        w_pdf = jnp.where(is_emissive, 1.0, cosw / pdf)
+
+        # ---- sky on miss (path_tracer.cu:307-316) -------------------------
+        a_sky = (dy + 1.0) * 0.5
+        sky_r = (1.0 - a_sky) * sky_ref[0] + a_sky * sky_ref[3]
+        sky_g = (1.0 - a_sky) * sky_ref[1] + a_sky * sky_ref[4]
+        sky_b = (1.0 - a_sky) * sky_ref[2] + a_sky * sky_ref[5]
+
+        f_r = jnp.where(hit, w_pdf * att_r, sky_r)
+        f_g = jnp.where(hit, w_pdf * att_g, sky_g)
+        f_b = jnp.where(hit, w_pdf * att_b, sky_b)
+        cr = cr * jnp.where(active, f_r, 1.0)
+        cg = cg * jnp.where(active, f_g, 1.0)
+        cb = cb * jnp.where(active, f_b, 1.0)
+
+        next_active = active & hit & ~is_emissive
+        ox = jnp.where(next_active, px + shadow_eps * nx, ox)
+        oy = jnp.where(next_active, py + shadow_eps * ny, oy)
+        oz = jnp.where(next_active, pz + shadow_eps * nz, oz)
+        dx = jnp.where(next_active, wix, dx)
+        dy = jnp.where(next_active, wiy, dy)
+        dz = jnp.where(next_active, wiz, dz)
+        active = next_active
+
+    out_ref[0:1, :] = cr
+    out_ref[1:2, :] = cg
+    out_ref[2:3, :] = cb
+    out_ref[3:4, :] = jnp.zeros((1, lanes), jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tri_tile", "sph_tile", "lanes", "max_depth",
+                     "num_mats", "external_rng", "interpret"),
+)
+def _mega_call(scalars, sky, seed, rays, urand, tris, sphs, mats, tri_tile,
+               sph_tile, lanes, max_depth, num_mats, external_rng,
+               interpret=False):
+    r_pad = rays.shape[1]
+    urand_rows = urand.shape[0]
+    out = pl.pallas_call(
+        functools.partial(
+            _mega_kernel, tri_tile=tri_tile, sph_tile=sph_tile,
+            max_depth=max_depth, num_mats=num_mats, external_rng=external_rng,
+        ),
+        grid=(r_pad // lanes,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((urand_rows, lanes), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+            if external_rng
+            else pl.BlockSpec((urand_rows, urand.shape[1]), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # material table: scalar reads
+        ],
+        out_specs=pl.BlockSpec((4, lanes), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, r_pad), jnp.float32),
+        interpret=interpret,
+    )(scalars, sky, seed, rays, urand, tris, sphs, mats)
+    return out
+
+
+def trace_fused(seed, o, d, packet, config, key=None, interpret=False):
+    """Trace one sample per ray fully on-chip → linear color (R, 3).
+
+    Args:
+      seed: int32 scalar (array or python int) — per-(frame, sample) seed for
+        the TPU hardware PRNG; ray-tile streams derive from it in-kernel.
+      o, d: (R, 3) ray origins / unit directions.
+      packet: ScenePacket.
+      config: RenderConfig (max_depth, epsilons, sky).
+      key: optional threefry key — when given, scatter uniforms are
+        precomputed with the SAME draws as `ops.integrator.trace` so the
+        fused result matches the staged path (up to float reassociation);
+        also the CPU-testable mode, since interpret mode has no hardware PRNG.
+    """
+    v0, v1, v2, n0, n1, n2 = packet.world_triangles()
+    R = o.shape[0]
+    tri_tile = _tile_for(v0.shape[0])
+    sph_tile = _tile_for(packet.sph_center.shape[0])
+    lanes = _lanes_for(max(tri_tile, sph_tile))
+
+    rows = jnp.concatenate([o.T, d.T, jnp.zeros((2, R), o.dtype)], axis=0)
+    rays = _pad_to(rows, lanes, axis=1)
+    tris = pack_tri32(v0, v1, v2, n0, n1, n2, packet.tri_valid,
+                      packet.tri_mat, tri_tile)
+    sphs = pack_sph16(packet.sph_center, packet.sph_radius, packet.sph_valid,
+                      packet.sph_mat, sph_tile)
+    mats = pack_mats(packet.mat_kind, packet.mat_albedo, packet.mat_param)
+
+    if key is not None:
+        rows = []
+        for b in range(config.max_depth):
+            bkey = _rng.fold(key, b)
+            k1, k2 = jax.random.split(bkey)
+            rows.append(jax.random.uniform(k1, (R,), jnp.float32))
+            rows.append(jax.random.uniform(k2, (R,), jnp.float32))
+        urand = _pad_to(jnp.stack(rows), lanes, axis=1)
+        external_rng = True
+    else:
+        urand = jnp.zeros((8, 128), jnp.float32)  # unused hw-PRNG placeholder
+        external_rng = False
+
+    scalars = jnp.array(
+        [config.t_min, config.t_max, config.det_eps, config.shadow_eps,
+         config.pdf_eps, 0.0, 0.0, 0.0], jnp.float32,
+    )
+    sky = jnp.array(list(config.sky_bottom) + list(config.sky_top) + [0.0, 0.0],
+                    jnp.float32)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    out = _mega_call(
+        scalars, sky, seed, rays, urand, tris, sphs, mats,
+        tri_tile=tri_tile, sph_tile=sph_tile, lanes=lanes,
+        max_depth=config.max_depth, num_mats=packet.num_materials,
+        external_rng=external_rng, interpret=interpret,
+    )
+    return out[:3, :R].T

@@ -58,6 +58,18 @@ def pixel_grid(height: int, width: int):
     return px.reshape(-1), py.reshape(-1)
 
 
+def _resolve_pipeline(config: RenderConfig) -> str:
+    """"fused" (single megakernel dispatch) vs "staged" (sweep kernel + XLA
+    shading). auto → fused on TPU: it is the production path; the staged
+    path remains the differentiable/training and CPU-reference path."""
+    b = config.intersect_backend
+    if b == "fused":
+        return "fused"
+    if b == "auto" and jax.default_backend() in ("tpu", "axon"):
+        return "fused"
+    return "staged"
+
+
 def sample_image(key, packet, cam, config: RenderConfig, ray_chunk: int = 0):
     """One jittered sample per pixel → clamped linear color (H*W, 3).
 
@@ -67,6 +79,13 @@ def sample_image(key, packet, cam, config: RenderConfig, ray_chunk: int = 0):
     px, py = pixel_grid(cam.height, cam.width)
     jitter = rng.pixel_jitter(rng.fold(key, 0x9E37), (px.shape[0],))
     origins, dirs = cam_ops.get_rays(cam, px, py, jitter)
+
+    if _resolve_pipeline(config) == "fused":
+        from ptre_tpu.ops.pallas import megakernel
+
+        seed = jax.random.randint(rng.fold(key, 0x5EED), (), 0, 2**31 - 1)
+        color = megakernel.trace_fused(seed, origins, dirs, packet, config)
+        return integrator.postprocess_sample(color, config.clamp_samples)
 
     if ray_chunk and px.shape[0] > ray_chunk:
         n = px.shape[0]

@@ -285,22 +285,6 @@ def _mega_kernel(
         nz = jnp.where(use_sph, snz, tnz)
         mat_id = jnp.where(use_sph, sph_mat, tri_mat)
 
-        # ---- material row (unrolled select over the tiny table) -----------
-        m_kind = jnp.zeros((1, lanes), jnp.float32)
-        m_ar = jnp.zeros((1, lanes), jnp.float32)
-        m_ag = jnp.zeros((1, lanes), jnp.float32)
-        m_ab = jnp.zeros((1, lanes), jnp.float32)
-        m_param = jnp.zeros((1, lanes), jnp.float32)
-        for m in range(num_mats):
-            is_m = jnp.abs(mat_id - m) < 0.5
-            m_kind = jnp.where(is_m, mat_ref[m, 0], m_kind)
-            m_ar = jnp.where(is_m, mat_ref[m, 1], m_ar)
-            m_ag = jnp.where(is_m, mat_ref[m, 2], m_ag)
-            m_ab = jnp.where(is_m, mat_ref[m, 3], m_ab)
-            m_param = jnp.where(is_m, mat_ref[m, 4], m_param)
-        is_emissive = m_kind > 0.5
-
-        # ---- cosine-weighted sample in the ONB (onb.h + random.cu:96-107) -
         if external_rng:
             u1 = urand_ref[2 * bounce : 2 * bounce + 1, :]
             u2 = urand_ref[2 * bounce + 1 : 2 * bounce + 2, :]
@@ -308,85 +292,11 @@ def _mega_kernel(
             bits = pltpu.prng_random_bits((8, lanes))
             u1 = _u01(bits[0:1, :])
             u2 = _u01(bits[1:2, :])
-        phi = _TAU * u1
-        sr_ = jnp.sqrt(u2)
-        lx = jnp.cos(phi) * sr_
-        ly = jnp.sin(phi) * sr_
-        lz = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
-        # ONB: w = n (unit); a = |w.x|>0.9 ? (0,1,0) : (1,0,0)
-        big_x = jnp.abs(nx) > 0.9
-        ax = jnp.where(big_x, 0.0, 1.0)
-        ay = jnp.where(big_x, 1.0, 0.0)
-        # v = normalize(w x a); u = v x w
-        vx = ny * 0.0 - nz * ay
-        vy = nz * ax - nx * 0.0
-        vz = nx * ay - ny * ax
-        vlen = jnp.sqrt(vx * vx + vy * vy + vz * vz)
-        vinv = 1.0 / jnp.where(vlen > 0.0, vlen, 1.0)
-        vx, vy, vz = vx * vinv, vy * vinv, vz * vinv
-        ux = vy * nz - vz * ny
-        uy = vz * nx - vx * nz
-        uz = vx * ny - vy * nx
-        wix = lx * ux + ly * vx + lz * nx
-        wiy = lx * uy + ly * vy + lz * ny
-        wiz = lx * uz + ly * vz + lz * nz
-
-        ndotwi = nx * wix + ny * wiy + nz * wiz
-        pdf = ndotwi * jnp.float32(1.0 / _PI)
-        degen = pdf < pdf_eps
-        wix = jnp.where(degen, nx, wix)
-        wiy = jnp.where(degen, ny, wiy)
-        wiz = jnp.where(degen, nz, wiz)
-        pdf = jnp.where(degen, jnp.float32(1.0 / _PI), pdf)
-        ndotwi = jnp.where(degen, 1.0, ndotwi)
-        cosw = jnp.maximum(0.0, ndotwi)
-
-        # ---- Oren–Nayar A/B (material.cu:20-41), transcendental-free ------
-        sigma = jnp.clip(m_param, 0.0, 1.0)
-        s2 = sigma * sigma
-        A = 1.0 - 0.5 * s2 / (s2 + 0.33)
-        B = 0.45 * s2 / (s2 + 0.09)
-        wox, woy, woz = -dx, -dy, -dz
-        # cos(phi_i - phi_o) via xy-plane projections (atan2-free; the
-        # reference's phi are world-space atan2(w.y, w.x) — same frame)
-        li = jnp.sqrt(wix * wix + wiy * wiy)
-        lo = jnp.sqrt(wox * wox + woy * woy)
-        ci_ = jnp.where(li > 1e-12, wix / jnp.where(li > 0, li, 1.0), 1.0)
-        si_ = jnp.where(li > 1e-12, wiy / jnp.where(li > 0, li, 1.0), 0.0)
-        co_ = jnp.where(lo > 1e-12, wox / jnp.where(lo > 0, lo, 1.0), 1.0)
-        so_ = jnp.where(lo > 1e-12, woy / jnp.where(lo > 0, lo, 1.0), 0.0)
-        cos_dphi = ci_ * co_ + si_ * so_
-        cos_to = jnp.clip(wox * nx + woy * ny + woz * nz, 0.0, 1.0)
-        cos_ti = jnp.clip(ndotwi, 0.0, 1.0)
-        # alpha = max(theta_i, theta_o) → cos_alpha = min(cos_i, cos_o)
-        cos_a = jnp.minimum(cos_ti, cos_to)
-        cos_b = jnp.maximum(cos_ti, cos_to)
-        sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
-        tan_b = jnp.sqrt(jnp.maximum(1.0 - cos_b * cos_b, 0.0)) / jnp.maximum(
-            cos_b, 1e-6
+        f_r, f_g, f_b, wix, wiy, wiz, is_emissive = _scatter_shade(
+            nx, ny, nz, dx, dy, dz, mat_id, u1, u2, mat_ref, num_mats,
+            pdf_eps, sky_ref, hit,
         )
-        coeff = (A + B * cos_dphi * sin_a * tan_b) * jnp.float32(1.0 / _PI)
 
-        on_r = m_ar * coeff
-        on_g = m_ag * coeff
-        on_b = m_ab * coeff
-        em_r = m_param * m_ar
-        em_g = m_param * m_ag
-        em_b = m_param * m_ab
-        att_r = jnp.where(is_emissive, em_r, on_r)
-        att_g = jnp.where(is_emissive, em_g, on_g)
-        att_b = jnp.where(is_emissive, em_b, on_b)
-        w_pdf = jnp.where(is_emissive, 1.0, cosw / pdf)
-
-        # ---- sky on miss (path_tracer.cu:307-316) -------------------------
-        a_sky = (dy + 1.0) * 0.5
-        sky_r = (1.0 - a_sky) * sky_ref[0] + a_sky * sky_ref[3]
-        sky_g = (1.0 - a_sky) * sky_ref[1] + a_sky * sky_ref[4]
-        sky_b = (1.0 - a_sky) * sky_ref[2] + a_sky * sky_ref[5]
-
-        f_r = jnp.where(hit, w_pdf * att_r, sky_r)
-        f_g = jnp.where(hit, w_pdf * att_g, sky_g)
-        f_b = jnp.where(hit, w_pdf * att_b, sky_b)
         cr = cr * jnp.where(active, f_r, 1.0)
         cg = cg * jnp.where(active, f_g, 1.0)
         cb = cb * jnp.where(active, f_b, 1.0)
@@ -404,6 +314,347 @@ def _mega_kernel(
     out_ref[1:2, :] = cg
     out_ref[2:3, :] = cb
     out_ref[3:4, :] = jnp.zeros((1, lanes), jnp.float32)
+
+
+def _scatter_shade(nx, ny, nz, dx, dy, dz, mat_id, u1, u2, mat_ref, num_mats,
+                   pdf_eps, sky_ref, hit):
+    """Material lookup + ONB cosine scatter + Oren–Nayar/emissive weight +
+    sky-on-miss. Shape-polymorphic: all array args share one (sublanes,
+    lanes) shape — (1, L) in the lane-parallel kernel, (8, L) in the dense
+    kernel. Returns (f_r, f_g, f_b, wix, wiy, wiz, is_emissive)."""
+    shape = nx.shape
+
+    # ---- material row (unrolled select over the tiny table) -----------
+    m_kind = jnp.zeros(shape, jnp.float32)
+    m_ar = jnp.zeros(shape, jnp.float32)
+    m_ag = jnp.zeros(shape, jnp.float32)
+    m_ab = jnp.zeros(shape, jnp.float32)
+    m_param = jnp.zeros(shape, jnp.float32)
+    for m in range(num_mats):
+        is_m = jnp.abs(mat_id - m) < 0.5
+        m_kind = jnp.where(is_m, mat_ref[m, 0], m_kind)
+        m_ar = jnp.where(is_m, mat_ref[m, 1], m_ar)
+        m_ag = jnp.where(is_m, mat_ref[m, 2], m_ag)
+        m_ab = jnp.where(is_m, mat_ref[m, 3], m_ab)
+        m_param = jnp.where(is_m, mat_ref[m, 4], m_param)
+    is_emissive = m_kind > 0.5
+
+    # ---- cosine-weighted sample in the ONB (onb.h + random.cu:96-107) -
+    phi = _TAU * u1
+    sr_ = jnp.sqrt(u2)
+    lx = jnp.cos(phi) * sr_
+    ly = jnp.sin(phi) * sr_
+    lz = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
+    # ONB: w = n (unit); a = |w.x|>0.9 ? (0,1,0) : (1,0,0)
+    big_x = jnp.abs(nx) > 0.9
+    ax = jnp.where(big_x, 0.0, 1.0)
+    ay = jnp.where(big_x, 1.0, 0.0)
+    # v = normalize(w x a); u = v x w
+    vx = ny * 0.0 - nz * ay
+    vy = nz * ax - nx * 0.0
+    vz = nx * ay - ny * ax
+    vlen = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    vinv = 1.0 / jnp.where(vlen > 0.0, vlen, 1.0)
+    vx, vy, vz = vx * vinv, vy * vinv, vz * vinv
+    ux = vy * nz - vz * ny
+    uy = vz * nx - vx * nz
+    uz = vx * ny - vy * nx
+    wix = lx * ux + ly * vx + lz * nx
+    wiy = lx * uy + ly * vy + lz * ny
+    wiz = lx * uz + ly * vz + lz * nz
+
+    ndotwi = nx * wix + ny * wiy + nz * wiz
+    pdf = ndotwi * jnp.float32(1.0 / _PI)
+    degen = pdf < pdf_eps
+    wix = jnp.where(degen, nx, wix)
+    wiy = jnp.where(degen, ny, wiy)
+    wiz = jnp.where(degen, nz, wiz)
+    pdf = jnp.where(degen, jnp.float32(1.0 / _PI), pdf)
+    ndotwi = jnp.where(degen, 1.0, ndotwi)
+    cosw = jnp.maximum(0.0, ndotwi)
+
+    # ---- Oren–Nayar A/B (material.cu:20-41), transcendental-free ------
+    sigma = jnp.clip(m_param, 0.0, 1.0)
+    s2 = sigma * sigma
+    A = 1.0 - 0.5 * s2 / (s2 + 0.33)
+    B = 0.45 * s2 / (s2 + 0.09)
+    wox, woy, woz = -dx, -dy, -dz
+    # cos(phi_i - phi_o) via xy-plane projections (atan2-free; the
+    # reference's phi are world-space atan2(w.y, w.x) — same frame)
+    li = jnp.sqrt(wix * wix + wiy * wiy)
+    lo = jnp.sqrt(wox * wox + woy * woy)
+    ci_ = jnp.where(li > 1e-12, wix / jnp.where(li > 0, li, 1.0), 1.0)
+    si_ = jnp.where(li > 1e-12, wiy / jnp.where(li > 0, li, 1.0), 0.0)
+    co_ = jnp.where(lo > 1e-12, wox / jnp.where(lo > 0, lo, 1.0), 1.0)
+    so_ = jnp.where(lo > 1e-12, woy / jnp.where(lo > 0, lo, 1.0), 0.0)
+    cos_dphi = ci_ * co_ + si_ * so_
+    cos_to = jnp.clip(wox * nx + woy * ny + woz * nz, 0.0, 1.0)
+    cos_ti = jnp.clip(ndotwi, 0.0, 1.0)
+    # alpha = max(theta_i, theta_o) → cos_alpha = min(cos_i, cos_o)
+    cos_a = jnp.minimum(cos_ti, cos_to)
+    cos_b = jnp.maximum(cos_ti, cos_to)
+    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+    tan_b = jnp.sqrt(jnp.maximum(1.0 - cos_b * cos_b, 0.0)) / jnp.maximum(
+        cos_b, 1e-6
+    )
+    coeff = (A + B * cos_dphi * sin_a * tan_b) * jnp.float32(1.0 / _PI)
+
+    on_r = m_ar * coeff
+    on_g = m_ag * coeff
+    on_b = m_ab * coeff
+    em_r = m_param * m_ar
+    em_g = m_param * m_ag
+    em_b = m_param * m_ab
+    att_r = jnp.where(is_emissive, em_r, on_r)
+    att_g = jnp.where(is_emissive, em_g, on_g)
+    att_b = jnp.where(is_emissive, em_b, on_b)
+    w_pdf = jnp.where(is_emissive, 1.0, cosw / pdf)
+
+    # ---- sky on miss (path_tracer.cu:307-316) -------------------------
+    a_sky = (dy + 1.0) * 0.5
+    sky_r = (1.0 - a_sky) * sky_ref[0] + a_sky * sky_ref[3]
+    sky_g = (1.0 - a_sky) * sky_ref[1] + a_sky * sky_ref[4]
+    sky_b = (1.0 - a_sky) * sky_ref[2] + a_sky * sky_ref[5]
+
+    f_r = jnp.where(hit, w_pdf * att_r, sky_r)
+    f_g = jnp.where(hit, w_pdf * att_g, sky_g)
+    f_b = jnp.where(hit, w_pdf * att_b, sky_b)
+    return f_r, f_g, f_b, wix, wiy, wiz, is_emissive
+
+
+# --------------------------------------------------------------------------
+# Dense-ray variant: for small scenes (the reference demo class — a few tens
+# of primitives), the lane-parallel kernel above wastes 7/8 of the VPU in
+# its shading phase (every per-ray quantity is a (1, lanes) vector: one
+# sublane of each 8x128 vreg does work). Here rays fill FULL (8, lanes)
+# tiles — the sublane axis carries 8 more rays — and the scene is looped
+# serially as SMEM scalar broadcasts instead of being spread over sublanes.
+# Per-primitive cost per ray is unchanged (the sweep was already dense);
+# shading and RNG get 8x denser. The primitive loop is unrolled at trace
+# time, so this path is gated on small primitive counts.
+
+_DENSE_MAX_TRI = 64  # SMEM: 64*32*4 B = 8 KiB
+_DENSE_MAX_SPH = 64
+_DENSE_SUB = 8  # f32 sublane tile
+_DENSE_LANES = 512
+
+
+def _mega_kernel_dense(
+    scal_ref,  # SMEM f32 (8,)
+    sky_ref,  # SMEM f32 (8,)
+    seed_ref,  # SMEM i32 (1,)
+    rays_ref,  # VMEM (8, 8, lanes) block: component-planar rays
+    urand_ref,  # VMEM (2*max_depth, 8, lanes) block (or 1x1x1 dummy)
+    tri_ref,  # SMEM (T, 32)
+    sph_ref,  # SMEM (S, 16)
+    mat_ref,  # SMEM (8, 8)
+    out_ref,  # VMEM (4, 8, lanes) block: rgb + spare
+    *,
+    n_tri: int,
+    n_sph: int,
+    max_depth: int,
+    num_mats: int,
+    external_rng: bool,
+):
+    t_min = scal_ref[0]
+    t_max = scal_ref[1]
+    det_eps = scal_ref[2]
+    shadow_eps = scal_ref[3]
+    pdf_eps = scal_ref[4]
+
+    if not external_rng:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    shape = rays_ref.shape[1:]  # (8, lanes)
+    ox = rays_ref[0]
+    oy = rays_ref[1]
+    oz = rays_ref[2]
+    dx = rays_ref[3]
+    dy = rays_ref[4]
+    dz = rays_ref[5]
+
+    cr = jnp.ones(shape, jnp.float32)
+    cg = jnp.ones(shape, jnp.float32)
+    cb = jnp.ones(shape, jnp.float32)
+    active = jnp.ones(shape, jnp.bool_)
+
+    for bounce in range(max_depth):
+        # ---- triangle sweep: serial unrolled loop, scalar broadcasts ------
+        tri_t = jnp.full(shape, _BIG, jnp.float32)
+        tri_hit = jnp.zeros(shape, jnp.bool_)
+        bnx = jnp.zeros(shape, jnp.float32)  # signed, unnormalized interp n
+        bny = jnp.zeros(shape, jnp.float32)
+        bnz = jnp.zeros(shape, jnp.float32)
+        tri_mat = jnp.zeros(shape, jnp.float32)
+        for j in range(n_tri):
+            v0x, v0y, v0z = tri_ref[j, 0], tri_ref[j, 1], tri_ref[j, 2]
+            e1x = tri_ref[j, 3] - v0x
+            e1y = tri_ref[j, 4] - v0y
+            e1z = tri_ref[j, 5] - v0z
+            e2x = tri_ref[j, 6] - v0x
+            e2y = tri_ref[j, 7] - v0y
+            e2z = tri_ref[j, 8] - v0z
+            # Moller-Trumbore against the full (8, lanes) ray block
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < det_eps, 1.0, det)
+            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            acc = (
+                (jnp.abs(det) >= det_eps)
+                & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= t_min) & (t <= t_max)
+                & (tri_ref[j, 18] > 0.5)
+            )
+            upd = acc & (t < tri_t)
+            # smooth normal (1-u-v)n0 + u n1 + v n2 (shape.cu:96-97), front
+            # flip from the geometric normal sign (shape.cu:98-101); the
+            # sign is applied pre-normalization (commutes with normalize)
+            w_ = 1.0 - u - v
+            inx = w_ * tri_ref[j, 9] + u * tri_ref[j, 12] + v * tri_ref[j, 15]
+            iny = w_ * tri_ref[j, 10] + u * tri_ref[j, 13] + v * tri_ref[j, 16]
+            inz = w_ * tri_ref[j, 11] + u * tri_ref[j, 14] + v * tri_ref[j, 17]
+            gnx = e1y * e2z - e1z * e2y  # scalar arithmetic
+            gny = e1z * e2x - e1x * e2z
+            gnz = e1x * e2y - e1y * e2x
+            sign = jnp.where(dx * gnx + dy * gny + dz * gnz < 0.0, 1.0, -1.0)
+            tri_t = jnp.where(upd, t, tri_t)
+            bnx = jnp.where(upd, inx * sign, bnx)
+            bny = jnp.where(upd, iny * sign, bny)
+            bnz = jnp.where(upd, inz * sign, bnz)
+            tri_mat = jnp.where(upd, tri_ref[j, 19], tri_mat)
+            tri_hit = tri_hit | acc
+
+        tri_best = jnp.where(tri_hit, tri_t, t_max)
+
+        # ---- sphere sweep (bounded by closest triangle, like the lane-
+        # parallel kernel / reference closest-so-far argument) --------------
+        sph_t = jnp.full(shape, _BIG, jnp.float32)
+        sph_hit = jnp.zeros(shape, jnp.bool_)
+        s_cx = jnp.zeros(shape, jnp.float32)
+        s_cy = jnp.zeros(shape, jnp.float32)
+        s_cz = jnp.zeros(shape, jnp.float32)
+        s_ir = jnp.zeros(shape, jnp.float32)
+        sph_mat = jnp.zeros(shape, jnp.float32)
+        for s in range(n_sph):
+            cx, cy, cz = sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2]
+            r = sph_ref[s, 3]
+            ocx, ocy, ocz = cx - ox, cy - oy, cz - oz
+            halfb = dx * ocx + dy * ocy + dz * ocz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            delta = halfb * halfb - c
+            sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+            t_near = halfb - sq
+            t = jnp.where(t_near >= t_min, t_near, halfb + sq)
+            acc = (
+                (delta >= 0.0) & (t_near <= tri_best) & (t >= t_min)
+                & (sph_ref[s, 4] > 0.5)
+            )
+            upd = acc & (t < sph_t)
+            sph_t = jnp.where(upd, t, sph_t)
+            s_cx = jnp.where(upd, cx, s_cx)
+            s_cy = jnp.where(upd, cy, s_cy)
+            s_cz = jnp.where(upd, cz, s_cz)
+            s_ir = jnp.where(upd, 1.0 / jnp.where(r == 0.0, 1.0, r), s_ir)
+            sph_mat = jnp.where(upd, sph_ref[s, 5], sph_mat)
+            sph_hit = sph_hit | acc
+
+        hit = tri_hit | sph_hit
+        use_sph = sph_hit  # sphere candidates already bounded by tri_best
+
+        # ---- merge winner + finish normals --------------------------------
+        t_hit = jnp.where(use_sph, sph_t, tri_t)
+        px = ox + t_hit * dx
+        py = oy + t_hit * dy
+        pz = oz + t_hit * dz
+        snx = (px - s_cx) * s_ir
+        sny = (py - s_cy) * s_ir
+        snz = (pz - s_cz) * s_ir
+        s_sign = jnp.where(dx * snx + dy * sny + dz * snz < 0.0, 1.0, -1.0)
+        nx = jnp.where(use_sph, snx * s_sign, bnx)
+        ny = jnp.where(use_sph, sny * s_sign, bny)
+        nz = jnp.where(use_sph, snz * s_sign, bnz)
+        nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+        ninv = jnp.where(nlen > 0.0, 1.0 / jnp.where(nlen > 0.0, nlen, 1.0), 0.0)
+        nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+        mat_id = jnp.where(use_sph, sph_mat, tri_mat)
+
+        # ---- scatter + shade (shared with the lane-parallel kernel) -------
+        if external_rng:
+            u1 = urand_ref[2 * bounce]
+            u2 = urand_ref[2 * bounce + 1]
+        else:
+            u1 = _u01(pltpu.prng_random_bits(shape))
+            u2 = _u01(pltpu.prng_random_bits(shape))
+        f_r, f_g, f_b, wix, wiy, wiz, is_emissive = _scatter_shade(
+            nx, ny, nz, dx, dy, dz, mat_id, u1, u2, mat_ref, num_mats,
+            pdf_eps, sky_ref, hit,
+        )
+
+        cr = cr * jnp.where(active, f_r, 1.0)
+        cg = cg * jnp.where(active, f_g, 1.0)
+        cb = cb * jnp.where(active, f_b, 1.0)
+
+        next_active = active & hit & ~is_emissive
+        ox = jnp.where(next_active, px + shadow_eps * nx, ox)
+        oy = jnp.where(next_active, py + shadow_eps * ny, oy)
+        oz = jnp.where(next_active, pz + shadow_eps * nz, oz)
+        dx = jnp.where(next_active, wix, dx)
+        dy = jnp.where(next_active, wiy, dy)
+        dz = jnp.where(next_active, wiz, dz)
+        active = next_active
+
+    out_ref[0] = cr
+    out_ref[1] = cg
+    out_ref[2] = cb
+    out_ref[3] = jnp.zeros(shape, jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_tri", "n_sph", "lanes", "max_depth", "num_mats",
+                     "external_rng", "interpret"),
+)
+def _mega_call_dense(scalars, sky, seed, rays, urand, tris, sphs, mats,
+                     n_tri, n_sph, lanes, max_depth, num_mats, external_rng,
+                     interpret=False):
+    n_lanes_total = rays.shape[2]
+    urand_shape = urand.shape
+    out = pl.pallas_call(
+        functools.partial(
+            _mega_kernel_dense, n_tri=n_tri, n_sph=n_sph,
+            max_depth=max_depth, num_mats=num_mats, external_rng=external_rng,
+        ),
+        grid=(n_lanes_total // lanes,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, _DENSE_SUB, lanes), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((urand_shape[0], _DENSE_SUB, lanes),
+                         lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+            if external_rng
+            else pl.BlockSpec((urand_shape[0], urand_shape[1], urand_shape[2]),
+                              lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((4, _DENSE_SUB, lanes), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, _DENSE_SUB, n_lanes_total),
+                                       jnp.float32),
+        interpret=interpret,
+    )(scalars, sky, seed, rays, urand, tris, sphs, mats)
+    return out
 
 
 @functools.partial(
@@ -460,8 +711,65 @@ def trace_fused(seed, o, d, packet, config, key=None, interpret=False):
     """
     v0, v1, v2, n0, n1, n2 = packet.world_triangles()
     R = o.shape[0]
-    tri_tile = _tile_for(v0.shape[0])
-    sph_tile = _tile_for(packet.sph_center.shape[0])
+    # true counts are static aux data (ScenePacket.num_*); padding rows are
+    # dead weight in the serial dense sweep, so slice them off there
+    n_tri_true = max(int(packet.num_triangles), 1)
+    n_sph_true = max(int(packet.num_spheres), 1)
+    n_tri = v0.shape[0]
+    n_sph = packet.sph_center.shape[0]
+    mats = pack_mats(packet.mat_kind, packet.mat_albedo, packet.mat_param)
+
+    scalars = jnp.array(
+        [config.t_min, config.t_max, config.det_eps, config.shadow_eps,
+         config.pdf_eps, 0.0, 0.0, 0.0], jnp.float32,
+    )
+    sky = jnp.array(list(config.sky_bottom) + list(config.sky_top) + [0.0, 0.0],
+                    jnp.float32)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    dense = n_tri_true <= _DENSE_MAX_TRI and n_sph_true <= _DENSE_MAX_SPH
+    if dense:
+        lanes = _DENSE_LANES if R >= _DENSE_SUB * _DENSE_LANES else 128
+        block = _DENSE_SUB * lanes
+        rows = jnp.concatenate([o.T, d.T, jnp.zeros((2, R), o.dtype)], axis=0)
+        rays = _pad_to(rows, block, axis=1)
+        L = rays.shape[1] // _DENSE_SUB
+        rays = rays.reshape(8, _DENSE_SUB, L)
+        nt, ns = n_tri_true, n_sph_true
+        if v0.shape[0] == 0:  # empty-scene packet: one dead (valid=0) row
+            tris = jnp.zeros((1, 32), jnp.float32)
+        else:
+            tris = pack_tri32(v0[:nt], v1[:nt], v2[:nt], n0[:nt], n1[:nt],
+                              n2[:nt], packet.tri_valid[:nt],
+                              packet.tri_mat[:nt], 1)
+        if packet.sph_center.shape[0] == 0:
+            sphs = jnp.zeros((1, 16), jnp.float32)
+        else:
+            sphs = pack_sph16(packet.sph_center[:ns], packet.sph_radius[:ns],
+                              packet.sph_valid[:ns], packet.sph_mat[:ns], 1)
+        if key is not None:
+            urows = []
+            for b in range(config.max_depth):
+                bkey = _rng.fold(key, b)
+                k1, k2 = jax.random.split(bkey)
+                urows.append(jax.random.uniform(k1, (R,), jnp.float32))
+                urows.append(jax.random.uniform(k2, (R,), jnp.float32))
+            urand = _pad_to(jnp.stack(urows), block, axis=1)
+            urand = urand.reshape(urand.shape[0], _DENSE_SUB, L)
+            external_rng = True
+        else:
+            urand = jnp.zeros((1, 1, 128), jnp.float32)  # unused placeholder
+            external_rng = False
+        out = _mega_call_dense(
+            scalars, sky, seed, rays, urand, tris, sphs, mats,
+            n_tri=nt, n_sph=ns, lanes=lanes,
+            max_depth=config.max_depth, num_mats=packet.num_materials,
+            external_rng=external_rng, interpret=interpret,
+        )
+        return out.reshape(4, _DENSE_SUB * L)[:3, :R].T
+
+    tri_tile = _tile_for(n_tri)
+    sph_tile = _tile_for(n_sph)
     lanes = _lanes_for(max(tri_tile, sph_tile))
 
     rows = jnp.concatenate([o.T, d.T, jnp.zeros((2, R), o.dtype)], axis=0)
@@ -470,7 +778,6 @@ def trace_fused(seed, o, d, packet, config, key=None, interpret=False):
                       packet.tri_mat, tri_tile)
     sphs = pack_sph16(packet.sph_center, packet.sph_radius, packet.sph_valid,
                       packet.sph_mat, sph_tile)
-    mats = pack_mats(packet.mat_kind, packet.mat_albedo, packet.mat_param)
 
     if key is not None:
         rows = []
@@ -484,14 +791,6 @@ def trace_fused(seed, o, d, packet, config, key=None, interpret=False):
     else:
         urand = jnp.zeros((8, 128), jnp.float32)  # unused hw-PRNG placeholder
         external_rng = False
-
-    scalars = jnp.array(
-        [config.t_min, config.t_max, config.det_eps, config.shadow_eps,
-         config.pdf_eps, 0.0, 0.0, 0.0], jnp.float32,
-    )
-    sky = jnp.array(list(config.sky_bottom) + list(config.sky_top) + [0.0, 0.0],
-                    jnp.float32)
-    seed = jnp.asarray(seed, jnp.int32).reshape(1)
 
     out = _mega_call(
         scalars, sky, seed, rays, urand, tris, sphs, mats,

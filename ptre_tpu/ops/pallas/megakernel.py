@@ -449,6 +449,7 @@ def _mega_kernel_dense(
     sph_ref,  # SMEM (S, 16)
     mat_ref,  # SMEM (8, 8)
     out_ref,  # VMEM (4, 8, lanes) block: rgb + spare
+    st_ref,  # VMEM (10, 8, lanes) f32 scratch: o, d, throughput, active
     *,
     n_tri: int,
     n_sph: int,
@@ -466,19 +467,18 @@ def _mega_kernel_dense(
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     shape = rays_ref.shape[1:]  # (8, lanes)
-    ox = rays_ref[0]
-    oy = rays_ref[1]
-    oz = rays_ref[2]
-    dx = rays_ref[3]
-    dy = rays_ref[4]
-    dz = rays_ref[5]
+    for c in range(6):  # o, d
+        st_ref[c] = rays_ref[c]
+    st_ref[6] = jnp.ones(shape, jnp.float32)  # throughput r
+    st_ref[7] = jnp.ones(shape, jnp.float32)  # g
+    st_ref[8] = jnp.ones(shape, jnp.float32)  # b
+    st_ref[9] = jnp.ones(shape, jnp.float32)  # active (1.0 / 0.0)
 
-    cr = jnp.ones(shape, jnp.float32)
-    cg = jnp.ones(shape, jnp.float32)
-    cb = jnp.ones(shape, jnp.float32)
-    active = jnp.ones(shape, jnp.bool_)
-
-    for bounce in range(max_depth):
+    def one_bounce(bounce):
+        ox, oy, oz = st_ref[0], st_ref[1], st_ref[2]
+        dx, dy, dz = st_ref[3], st_ref[4], st_ref[5]
+        cr, cg, cb = st_ref[6], st_ref[7], st_ref[8]
+        active = st_ref[9] > 0.5
         # ---- triangle sweep: serial unrolled loop, scalar broadcasts ------
         tri_t = jnp.full(shape, _BIG, jnp.float32)
         tri_hit = jnp.zeros(shape, jnp.bool_)
@@ -603,17 +603,33 @@ def _mega_kernel_dense(
         cb = cb * jnp.where(active, f_b, 1.0)
 
         next_active = active & hit & ~is_emissive
-        ox = jnp.where(next_active, px + shadow_eps * nx, ox)
-        oy = jnp.where(next_active, py + shadow_eps * ny, oy)
-        oz = jnp.where(next_active, pz + shadow_eps * nz, oz)
-        dx = jnp.where(next_active, wix, dx)
-        dy = jnp.where(next_active, wiy, dy)
-        dz = jnp.where(next_active, wiz, dz)
-        active = next_active
+        st_ref[0] = jnp.where(next_active, px + shadow_eps * nx, ox)
+        st_ref[1] = jnp.where(next_active, py + shadow_eps * ny, oy)
+        st_ref[2] = jnp.where(next_active, pz + shadow_eps * nz, oz)
+        st_ref[3] = jnp.where(next_active, wix, dx)
+        st_ref[4] = jnp.where(next_active, wiy, dy)
+        st_ref[5] = jnp.where(next_active, wiz, dz)
+        st_ref[6] = cr
+        st_ref[7] = cg
+        st_ref[8] = cb
+        st_ref[9] = next_active.astype(jnp.float32)
 
-    out_ref[0] = cr
-    out_ref[1] = cg
-    out_ref[2] = cb
+    # Bounce 0 always runs; later bounces are skipped wholesale once every
+    # lane in this (8, lanes) block has terminated (sky/emissive) — the
+    # tile-level analogue of the reference's per-thread early break
+    # (`path_tracer.cu:297-316`). State lives in VMEM scratch so the skip is
+    # a result-free `pl.when` (Mosaic cannot legalize scf.if with vector
+    # results). Identical results: a dead block's bounce body is a no-op,
+    # and skipped hw-PRNG draws are only ever unused ones.
+    one_bounce(0)
+    for bounce in range(1, max_depth):
+        @pl.when(jnp.max(st_ref[9]) > 0.5)
+        def _(b=bounce):
+            one_bounce(b)
+
+    out_ref[0] = st_ref[6]
+    out_ref[1] = st_ref[7]
+    out_ref[2] = st_ref[8]
     out_ref[3] = jnp.zeros(shape, jnp.float32)
 
 
@@ -652,6 +668,7 @@ def _mega_call_dense(scalars, sky, seed, rays, urand, tris, sphs, mats,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, _DENSE_SUB, n_lanes_total),
                                        jnp.float32),
+        scratch_shapes=[pltpu.VMEM((10, _DENSE_SUB, lanes), jnp.float32)],
         interpret=interpret,
     )(scalars, sky, seed, rays, urand, tris, sphs, mats)
     return out

@@ -34,7 +34,7 @@ def main():
 
     W, H = 1920, 1080
     SPP_PER_STEP = 4
-    STEPS = 3
+    STEPS = 8
 
     scn = demo.reference_demo_scene(32, 16)
     pkt = scn.build_packet()

@@ -88,7 +88,13 @@ def pack_mats(kind, albedo, param):
 
 
 def _u01(bits):
-    """uint32 bits → float in [0, 1] (reference `random.cu:66-70` scaling)."""
+    """Random bits → float in [0, 1] (reference `random.cu:66-70` scaling).
+
+    `pltpu.prng_random_bits` returns SIGNED int32 on this stack; mapping
+    b/2^32 + 0.5 is exactly uniform on [0, 1). (The unsigned branch keeps
+    the reference's uint32/UINT32_MAX scaling.)"""
+    if jnp.issubdtype(bits.dtype, jnp.signedinteger):
+        return bits.astype(jnp.float32) * jnp.float32(2.0**-32) + 0.5
     return bits.astype(jnp.float32) * jnp.float32(1.0 / 4294967295.0)
 
 
@@ -474,6 +480,35 @@ def _mega_kernel_dense(
     st_ref[8] = jnp.ones(shape, jnp.float32)  # b
     st_ref[9] = jnp.ones(shape, jnp.float32)  # active (1.0 / 0.0)
 
+    if external_rng:
+        def get_uniforms(bounce):
+            return urand_ref[2 * bounce], urand_ref[2 * bounce + 1]
+    else:
+        def get_uniforms(bounce):
+            return (_u01(pltpu.prng_random_bits(shape)),
+                    _u01(pltpu.prng_random_bits(shape)))
+
+    _trace_block(st_ref, tri_ref, sph_ref, mat_ref, sky_ref, t_min, t_max,
+                 det_eps, shadow_eps, pdf_eps, get_uniforms,
+                 n_tri=n_tri, n_sph=n_sph, max_depth=max_depth,
+                 num_mats=num_mats)
+
+    out_ref[0] = st_ref[6]
+    out_ref[1] = st_ref[7]
+    out_ref[2] = st_ref[8]
+    out_ref[3] = jnp.zeros(shape, jnp.float32)
+
+
+def _trace_block(st_ref, tri_ref, sph_ref, mat_ref, sky_ref, t_min, t_max,
+                 det_eps, shadow_eps, pdf_eps, get_uniforms, *, n_tri, n_sph,
+                 max_depth, num_mats):
+    """Masked bounce loop over one (8, lanes) ray block in VMEM scratch.
+
+    ``st_ref`` rows: o.xyz (0-2), d.xyz (3-5), throughput.rgb (6-8),
+    active flag as 1.0/0.0 (9). Shared by the standalone dense megakernel
+    and the fully-fused render-sample kernel."""
+    shape = st_ref.shape[1:]
+
     def one_bounce(bounce):
         ox, oy, oz = st_ref[0], st_ref[1], st_ref[2]
         dx, dy, dz = st_ref[3], st_ref[4], st_ref[5]
@@ -587,12 +622,7 @@ def _mega_kernel_dense(
         mat_id = jnp.where(use_sph, sph_mat, tri_mat)
 
         # ---- scatter + shade (shared with the lane-parallel kernel) -------
-        if external_rng:
-            u1 = urand_ref[2 * bounce]
-            u2 = urand_ref[2 * bounce + 1]
-        else:
-            u1 = _u01(pltpu.prng_random_bits(shape))
-            u2 = _u01(pltpu.prng_random_bits(shape))
+        u1, u2 = get_uniforms(bounce)
         f_r, f_g, f_b, wix, wiy, wiz, is_emissive = _scatter_shade(
             nx, ny, nz, dx, dy, dz, mat_id, u1, u2, mat_ref, num_mats,
             pdf_eps, sky_ref, hit,
@@ -626,11 +656,6 @@ def _mega_kernel_dense(
         @pl.when(jnp.max(st_ref[9]) > 0.5)
         def _(b=bounce):
             one_bounce(b)
-
-    out_ref[0] = st_ref[6]
-    out_ref[1] = st_ref[7]
-    out_ref[2] = st_ref[8]
-    out_ref[3] = jnp.zeros(shape, jnp.float32)
 
 
 @functools.partial(

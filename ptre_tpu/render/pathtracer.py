@@ -114,6 +114,25 @@ def render_step(packet, cam, accum: AccumState, key, config: RenderConfig,
     (`path_tracer.cu:356-358`, counter increment at `path_tracer.cu:401`).
     """
 
+    if _resolve_pipeline(config) == "fused":
+        from ptre_tpu.ops.pallas import render_kernel
+
+        if render_kernel.supports(cam, packet, config):
+            # whole-sample fused path: ray gen + bounce loop + accumulate in
+            # one dispatch per sample over the planar (3, H, W) accumulator
+            lin_p = jnp.transpose(accum.linear, (2, 0, 1))
+            for s in range(spp):
+                n1 = accum.frame + (s + 1)
+                skey = rng.fold(rng.fold(key, s), s + 1)
+                seed = jax.random.randint(skey, (), 0, 2**31 - 1)
+                lin_p = render_kernel.sample_accum_fused(
+                    seed, packet, cam, lin_p, n1.astype(jnp.float32), config
+                )
+            return AccumState(
+                linear=jnp.transpose(lin_p, (1, 2, 0)),
+                frame=accum.frame + spp,
+            )
+
     def body(carry, s):
         lin, n = carry
         n1 = n + 1

@@ -163,7 +163,17 @@ def rasterize(
     transforms (`rasterizer.cu:155-169`), box resolve (`rasterizer.cu:142`).
     ``row_chunk`` > 0 processes that many supersampled rows per `lax.map` step
     to bound the (samples × triangles) intermediate.
+
+    On TPU the hard path dispatches to the Pallas tile rasterizer
+    (`ops.pallas.raster_kernel`) — same image, ~3 orders of magnitude
+    faster; the XLA path remains the CPU/differentiable reference.
     """
+    if not soft and jax.default_backend() in ("tpu", "axon"):
+        from ptre_tpu.ops.pallas import raster_kernel
+
+        if raster_kernel.supports(config):
+            return raster_kernel.rasterize_fused(packet, cam, config)
+
     ss = config.supersample
     W, H = config.width * ss, config.height * ss
 

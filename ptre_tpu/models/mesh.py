@@ -161,13 +161,15 @@ def uv_sphere(
     vertices each (generated by iterated z- then y-rotations of (0,-1,0)),
     then the bottom and top pole vertices appended last. Quad bands between
     interior rings, triangle fans at the caps. Smooth normals = positions.
-    ``flat`` is accepted for API parity but unimplemented in the reference
-    too (`mesh.cu:198` TODO); it is ignored.
+
+    ``flat=True`` builds the flat-shaded variant — per-face normals with
+    unshared (duplicated) vertices. The reference declares but never
+    implements this (`mesh.cu:198` TODO); here it is implemented: outward
+    face normal from the triangle cross product per face.
 
     Default ``mesh_type`` is SPHERES (`mesh.h:93`): such models take the
     analytic-sphere path in the path tracer.
     """
-    del flat  # reference TODO: no flat-shaded variant (`mesh.cu:198`)
     segments = max(int(segments), 3)
     rings = max(int(rings), 3)
     theta = math.pi / rings  # polar step
@@ -217,4 +219,17 @@ def uv_sphere(
     indices += [top_idx, nv - 3, nv - segments - 2]
 
     positions = np.asarray(verts, np.float32)
-    return _mesh(positions, positions.copy(), indices, mesh_type)
+    if not flat:
+        return _mesh(positions, positions.copy(), indices, mesh_type)
+
+    # flat-shaded: duplicate vertices per face with the outward face normal
+    idx = np.asarray(indices, np.int64).reshape(-1, 3)
+    tv = positions[idx]  # (F, 3, 3)
+    fn = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+    # orient outward (unit sphere at origin: outward = away from center)
+    outward = np.sign(np.einsum("fi,fi->f", fn, tv.mean(axis=1)))
+    fn *= np.where(outward == 0.0, 1.0, outward)[:, None]
+    fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+    flat_pos = tv.reshape(-1, 3).astype(np.float32)
+    flat_nrm = np.repeat(fn, 3, axis=0).astype(np.float32)
+    return _mesh(flat_pos, flat_nrm, list(range(flat_pos.shape[0])), mesh_type)

@@ -68,6 +68,30 @@ def test_uv_sphere_topology():
     assert set(edges.values()) == {2}
 
 
+def test_uv_sphere_flat():
+    """flat=True (the reference's mesh.cu:198 TODO, implemented here):
+    per-face outward normals, unshared vertices, same face count."""
+    seg, rings = 8, 5
+    smooth = mg.uv_sphere(False, seg, rings)
+    s = mg.uv_sphere(True, seg, rings)
+    assert s.num_triangles == smooth.num_triangles
+    assert s.num_vertices == 3 * s.num_triangles  # fully unshared
+    np.testing.assert_array_equal(s.indices, np.arange(s.num_vertices))
+    idx = s.indices.reshape(-1, 3)
+    tv = s.positions[idx]
+    # the 3 normals of each face are identical and unit length
+    fn = s.normals[idx]
+    np.testing.assert_allclose(fn[:, 0], fn[:, 1])
+    np.testing.assert_allclose(fn[:, 0], fn[:, 2])
+    np.testing.assert_allclose(np.linalg.norm(fn[:, 0], axis=-1), 1.0, atol=1e-6)
+    # normals point outward and match the geometric face normal
+    geo = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+    geo /= np.maximum(np.linalg.norm(geo, axis=-1, keepdims=True), 1e-20)
+    dots = np.einsum("fi,fi->f", fn[:, 0], geo)
+    np.testing.assert_allclose(np.abs(dots), 1.0, atol=1e-5)
+    assert np.all(np.einsum("fi,fi->f", fn[:, 0], tv.mean(axis=1)) > 0)
+
+
 def test_scene_crud():
     scn = Scene()
     assert scn.add_mesh("m", mg.cube())

@@ -91,6 +91,15 @@ def trace(key, origins, directions, packet, config: RenderConfig):
         d = jnp.where(next_active[:, None], srec.next_dir, d)
         return (o, d, color, next_active), None
 
+    if config.remat_bounces:
+        # Backward-pass memory: without remat the scan saves every per-bounce
+        # intermediate (hit records, ONB, scatter dirs — ~20 (R, 3) arrays x
+        # max_depth), which OOMs a 16 GB chip at 1080p. Checkpointing the body
+        # keeps only the (o, d, color, active) carry per bounce and recomputes
+        # the rest during backward — the "re-intersect instead of storing
+        # hits" strategy (SURVEY §7), at ~2x bounce FLOPs.
+        bounce = jax.checkpoint(bounce)
+
     R = origins.shape[0]
     init = (
         origins,

@@ -216,6 +216,39 @@ def shard_train_step(
     return loss, grads, new_params
 
 
+def make_render_step(mesh: Mesh, cam: cam_ops.Camera, config: RenderConfig,
+                     spp: int = 1):
+    """Build a jit-compiled sharded progressive render step.
+
+    `shard_render_step` constructs its shard_map closure per call, so calling
+    it directly re-traces (and on a real backend re-compiles) every step.
+    This factory closes over the static arguments once; the returned
+    ``step(packet, accum, key) -> AccumState`` hits the jit cache from the
+    second call on. Use this for frame loops and benchmarks.
+    """
+
+    @jax.jit
+    def step(packet, accum: pt.AccumState, key) -> pt.AccumState:
+        return shard_render_step(mesh, packet, cam, accum, key, config, spp=spp)
+
+    return step
+
+
+def make_train_step(mesh: Mesh, cam: cam_ops.Camera, config: RenderConfig,
+                    spp: int = 1, lr: float = 0.0):
+    """Build a jit-compiled sharded forward+backward step (see
+    `make_render_step` for why). Returns
+    ``step(params, packet, target, key) -> (loss, grads, new_params)``.
+    """
+
+    @jax.jit
+    def step(params, packet, target, key):
+        return shard_train_step(mesh, params, packet, cam, target, key,
+                                config, spp=spp, lr=lr)
+
+    return step
+
+
 def replicate(mesh: Mesh, tree):
     """Place a pytree replicated over the mesh."""
     s = NamedSharding(mesh, P())

@@ -46,6 +46,13 @@ class RenderConfig:
     #: closest-hit sweep backend: "auto" (Pallas kernel on TPU, XLA
     #: elsewhere), "xla", or "pallas"
     intersect_backend: str = "auto"
+    #: rematerialize the bounce body in the backward pass (`jax.checkpoint`).
+    #: Without it, autodiff of the bounce scan stores every per-bounce
+    #: intermediate — ~20 (R, 3) arrays per bounce, which at 1080p overflows
+    #: a v5e chip's HBM; with it, only the small scan carry is saved and the
+    #: bounce recomputes on the way back (the SURVEY §7 "re-intersect instead
+    #: of storing hits" design). Identical values either way.
+    remat_bounces: bool = True
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:

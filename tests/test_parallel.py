@@ -150,3 +150,35 @@ def test_train_step_reduces_loss(scene_setup):
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_make_step_factories_match_direct(scene_setup):
+    """The jitted factory steps equal the direct (unjitted) calls."""
+    pkt, cam, cfg = scene_setup
+    mesh = sh.make_mesh((4, 2))
+
+    rstep = sh.make_render_step(mesh, cam, cfg, spp=2)
+    direct = sh.shard_render_step(
+        mesh, pkt, cam, pt.AccumState.create(H, W), rng.key_for(3), cfg, spp=2
+    )
+    jitted = rstep(pkt, pt.AccumState.create(H, W), rng.key_for(3))
+    np.testing.assert_allclose(
+        np.asarray(jitted.linear), np.asarray(direct.linear), atol=1e-6
+    )
+    assert int(jitted.frame) == int(direct.frame) == 2
+    # second call exercises the jit cache (no per-call shard_map rebuild)
+    again = rstep(pkt, jitted, rng.key_for(4))
+    assert int(again.frame) == 4
+
+    params = sh.differentiable_params(pkt, cam)
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    tstep = sh.make_train_step(mesh, cam, cfg, spp=2, lr=0.01)
+    l1, g1, p1 = sh.shard_train_step(
+        mesh, params, pkt, cam, target, rng.key_for(5), cfg, spp=2, lr=0.01
+    )
+    l2, g2, p2 = tstep(params, pkt, target, rng.key_for(5))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-5, atol=1e-7
+        )

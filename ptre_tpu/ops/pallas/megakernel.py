@@ -52,6 +52,74 @@ _BIG = 3e38
 _PI = 3.14159265358979
 _TAU = 2.0 * _PI
 _MAX_MATS = 8
+#: sentinel magnitude for empty tile AABBs (avoid inf arithmetic on VPU)
+_BOX_INF = 1e30
+#: primitive rows per tile in the culled lane-parallel sweep: small enough
+#: that a skipped tile saves ~60x its slab-test cost, large enough that the
+#: unrolled tile loop stays compileable (n_tiles = ceil(T / 64))
+_CULL_TILE = 64
+#: cap on the unrolled tile count — beyond this, tiles grow past _CULL_TILE
+#: to bound Mosaic code size / compile time
+_MAX_TILES = 64
+
+
+def morton_order(v0, v1, v2, valid):
+    """Spatial (Morton/Z-curve) ordering of triangles by centroid.
+
+    The TPU-native stand-in for the reference's planned BVH (`README.txt`
+    "BVH" TODO; SURVEY §7 "brute-force intersection at scale"): sorting
+    triangles along a Z-curve makes each fixed-size primitive tile spatially
+    compact, so a per-tile AABB slab test culls whole tiles per ray block —
+    tile-grained traversal instead of per-node pointer chasing, which is the
+    control-flow shape the VPU can actually exploit.
+
+    Returns an (T,) int32 permutation; invalid (padding) rows sort last.
+    """
+    c = (v0 + v1 + v2) * (1.0 / 3.0)
+    vf = valid.astype(jnp.float32)[:, None]
+    big = jnp.where(vf > 0.5, c, jnp.zeros_like(c))
+    n_valid = jnp.maximum(jnp.sum(vf), 1.0)
+    mean = jnp.sum(big, axis=0) / n_valid
+    lo = jnp.min(jnp.where(vf > 0.5, c, mean), axis=0)
+    hi = jnp.max(jnp.where(vf > 0.5, c, mean), axis=0)
+    span = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((c - lo) / span * 1023.0, 0.0, 1023.0).astype(jnp.uint32)
+
+    def spread(x):  # interleave 10 bits with 2-bit gaps
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    # invalid rows to the back: give them the max key
+    key = jnp.where(valid.astype(bool), code, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(key).astype(jnp.int32)
+
+
+def pack_tile_boxes(v0, v1, v2, valid, tile):
+    """(n_tiles, 8) f32 SMEM table of per-tile AABBs: lo.xyz hi.xyz pad pad.
+
+    Rows are grouped in `tile`-sized chunks of the (already Morton-ordered)
+    triangle arrays; invalid rows contribute an empty box, so all-padding
+    tiles get [+BOX_INF, -BOX_INF] and always fail the slab test."""
+    T = v0.shape[0]
+    pad = (-T) % tile
+    vf = valid.astype(jnp.float32)[:, None]
+    lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+    lo = jnp.where(vf > 0.5, lo, _BOX_INF)
+    hi = jnp.where(vf > 0.5, hi, -_BOX_INF)
+    if pad:
+        lo = jnp.pad(lo, ((0, pad), (0, 0)), constant_values=_BOX_INF)
+        hi = jnp.pad(hi, ((0, pad), (0, 0)), constant_values=-_BOX_INF)
+    n_tiles = lo.shape[0] // tile
+    tlo = jnp.min(lo.reshape(n_tiles, tile, 3), axis=1)
+    thi = jnp.max(hi.reshape(n_tiles, tile, 3), axis=1)
+    return jnp.concatenate(
+        [tlo, thi, jnp.zeros((n_tiles, 2), jnp.float32)], axis=1
+    )
 
 
 def pack_tri32(v0, v1, v2, n0, n1, n2, valid, mat, tile):

@@ -29,7 +29,7 @@ def test_sky_only_exact():
     scn.get_model("m").set_transforms(1e-4, 0.0, (0.0, -500.0, 0.0))
     pkt = scn.build_packet(tri_pad=8)
     cam = cam_ops.Camera.create(width=16, height=16)
-    cfg = RenderConfig(width=16, height=16)
+    cfg = RenderConfig(width=16, height=16, max_depth=2)
     o, d = _rays(cam)
     ref = integrator.trace(rng.key_for(0), o, d, pkt, cfg)
     got = mk.trace_fused(7, o, d, pkt, cfg, key=rng.key_for(0), interpret=True)
@@ -43,7 +43,7 @@ def test_primary_emissive_exact():
     scn.get_model("wall").set_transforms(100.0, 0.0, (0.0, 0.5, 2.0))
     pkt = scn.build_packet(tri_pad=8)
     cam = cam_ops.Camera.create(width=8, height=8)
-    cfg = RenderConfig(width=8, height=8)
+    cfg = RenderConfig(width=8, height=8, max_depth=2)
     o, d = _rays(cam)
     got = np.asarray(mk.trace_fused(3, o, d, pkt, cfg, key=rng.key_for(0), interpret=True))
     np.testing.assert_allclose(got, 10.0, atol=1e-4)
@@ -53,7 +53,7 @@ def test_deterministic_given_seed():
     scn = demo.reference_demo_scene(8, 4)
     pkt = scn.build_packet()
     cam = cam_ops.Camera.create(width=16, height=16)
-    cfg = RenderConfig(width=16, height=16)
+    cfg = RenderConfig(width=16, height=16, max_depth=2)
     o, d = _rays(cam)
     a = np.asarray(mk.trace_fused(5, o, d, pkt, cfg, key=rng.key_for(5), interpret=True))
     b = np.asarray(mk.trace_fused(5, o, d, pkt, cfg, key=rng.key_for(5), interpret=True))
@@ -65,7 +65,7 @@ def test_deterministic_given_seed():
 def test_demo_scene_matches_staged_exactly_with_threefry():
     """With external threefry uniforms the fused kernel replays the staged
     integrator draw-for-draw: images must match to float tolerance."""
-    scn = demo.reference_demo_scene(12, 6)
+    scn = demo.reference_demo_scene(8, 4)
     pkt = scn.build_packet()
     cam = cam_ops.Camera.create(width=24, height=16)
     cfg = RenderConfig(width=24, height=16, max_depth=3)
@@ -82,10 +82,10 @@ def test_demo_scene_matches_staged_exactly_with_threefry():
 def test_matches_staged_hit_structure():
     """Bounce-0 termination pattern (hit vs sky) is RNG-free: the fused and
     staged paths must agree on which pixels see pure sky."""
-    scn = demo.reference_demo_scene(12, 6)
+    scn = demo.reference_demo_scene(8, 4)
     pkt = scn.build_packet()
-    cam = cam_ops.Camera.create(width=32, height=24)
-    cfg = RenderConfig(width=32, height=24, max_depth=1)
+    cam = cam_ops.Camera.create(width=16, height=16)
+    cfg = RenderConfig(width=16, height=16, max_depth=1)
     o, d = _rays(cam)
     ref = np.asarray(integrator.trace(rng.key_for(0), o, d, pkt, cfg))
     got = np.asarray(mk.trace_fused(0, o, d, pkt, cfg, key=rng.key_for(0), interpret=True))

@@ -20,7 +20,7 @@ from ptre_tpu.ops.pallas import megakernel, render_kernel
 from ptre_tpu.render import pathtracer as pt
 from ptre_tpu.utils.config import RenderConfig
 
-W, H = 128, 16
+W, H = 128, 8
 
 
 @pytest.fixture(scope="module")
@@ -28,7 +28,7 @@ def setup():
     scn = demo.reference_demo_scene(8, 4)
     pkt = scn.build_packet()
     cam = cam_ops.Camera.create(width=W, height=H)
-    cfg = RenderConfig(width=W, height=H)
+    cfg = RenderConfig(width=W, height=H, max_depth=3)
     return pkt, cam, cfg
 
 

@@ -77,11 +77,23 @@ class Model:
     rotation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     translation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     material: Optional[int] = None
+    #: owning scene's dirty callback, set by Scene.add_model; mutation marks
+    #: the scene modified like the reference's setters (`scene.cu:49`) — the
+    #: flag is NOT set on mere reads (`scene::get_model` is a const lookup)
+    _on_mutate: Optional[object] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     def set_transforms(self, scale=1.0, rotation=0.0, translation=0.0):
         self.scale = _as3(scale)
         self.rotation = _as3(rotation)
         self.translation = _as3(translation)
+        if self._on_mutate is not None:
+            self._on_mutate()
+
+    def set_material(self, material: Optional[int]):
+        self.material = material
+        if self._on_mutate is not None:
+            self._on_mutate()
 
     def transform_matrix(self) -> np.ndarray:
         s = np.diag(list(self.scale) + [1.0]).astype(np.float32)
@@ -237,10 +249,14 @@ class Scene:
         if m.mesh_name not in self._meshes:
             raise SceneError(f"model '{name}' references unknown mesh '{m.mesh_name}'")
         self._models[name] = m
+        m._on_mutate = self._mark_modified
         self._model_order[name] = self._next_order
         self._next_order += 1
         self._modified = True
         return True
+
+    def _mark_modified(self):
+        self._modified = True
 
     def rename_model(self, old: str, new: str):
         if old not in self._models or new in self._models:
@@ -256,7 +272,9 @@ class Scene:
             self._modified = True
 
     def get_model(self, name: str) -> Model:
-        self._modified = True  # callers typically mutate TRS through this
+        """Read access does NOT dirty the scene (reference sets m_modified
+        only on actual mutation, `scene.cu:49`); Model setters call back via
+        ``_on_mutate`` instead, so TRS edits still trigger a packet rebuild."""
         return self._models[name]
 
     def change_model_mesh(self, model_name: str, new_mesh_name: str):

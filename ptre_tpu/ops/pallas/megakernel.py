@@ -144,6 +144,24 @@ def pack_sph16(center, radius, valid, mat, tile):
     return _pad_to(cols, tile, axis=0)
 
 
+def supports(packet) -> bool:
+    """Whether the fused megakernel can run this packet.
+
+    Gates (callers fall back to the staged pipeline, never crash):
+      * material table must fit the unrolled SMEM select (<= _MAX_MATS rows);
+      * the padded primitive arrays must not unroll into more than _MAX_TILES
+        tiles each (Mosaic code size / compile time bound).
+    """
+    if packet.num_materials > _MAX_MATS:
+        return False
+    n_tri = packet.tri_valid.shape[0]
+    n_sph = packet.sph_center.shape[0]
+    tri_tile = _tile_for(max(n_tri, 1))
+    sph_tile = _tile_for(max(n_sph, 1))
+    n_tiles = -(-max(n_tri, 1) // tri_tile) + -(-max(n_sph, 1) // sph_tile)
+    return n_tiles <= _MAX_TILES
+
+
 def pack_mats(kind, albedo, param):
     """(8, 8): kind (0), albedo (1-3), param (4); rows padded to 8."""
     M = kind.shape[0]

@@ -65,11 +65,14 @@ def _lanes_for_width(width: int) -> int:
 def supports(cam, packet, config) -> bool:
     """Whether the fused sample kernel applies: 2D-tileable image and a
     small (serial-sweep) scene."""
+    from ptre_tpu.ops.pallas import megakernel
+
     return (
         cam.height % _DENSE_SUB == 0
         and _lanes_for_width(cam.width) > 0
         and max(int(packet.num_triangles), 1) <= _DENSE_MAX_TRI
         and max(int(packet.num_spheres), 1) <= _DENSE_MAX_SPH
+        and packet.num_materials <= megakernel._MAX_MATS
     )
 
 

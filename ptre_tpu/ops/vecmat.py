@@ -320,8 +320,20 @@ def orthographic(aspect_ratio, znear, zfar):
 
 
 def inverse(m):
-    """4x4 inverse (reference uses adjugate expansion, `matrix.cu:141-271`)."""
-    return jnp.linalg.inv(m)
+    """4x4 inverse (reference uses adjugate expansion, `matrix.cu:141-271`).
+
+    Singular matrices (|det| < 1e-5, the literal 0.00001f at `matrix.cu:143`)
+    return an INFINITY-filled matrix — the reference contract at
+    `matrix.cu:141-145`. The input is substituted with identity on the
+    singular branch before `linalg.inv` so the unselected branch never
+    produces NaNs that would poison `where`'s backward pass.
+    """
+    det = jnp.linalg.det(m)
+    bad = jnp.abs(det) < 1e-5
+    eye = jnp.broadcast_to(jnp.eye(m.shape[-1], dtype=m.dtype), m.shape)
+    safe = jnp.where(bad[..., None, None], eye, m)
+    inv = jnp.linalg.inv(safe)
+    return jnp.where(bad[..., None, None], jnp.full_like(m, jnp.inf), inv)
 
 
 def determinant(m):
@@ -364,8 +376,13 @@ def normal_matrix(m):
         applied as a row-vector transform (`path_tracer.cu:260,268-270`), and
       * raster cbuffer: ``tr.store3x3().inverse().transposed()`` consumed by
         HLSL ``mul(normal_mat, norm)`` (`shader.cu:48-53`, `vertex_shader.hlsl`).
-    Singular matrices produce inf entries like ``mat3x3::inversed``
-    (`matrix.cu:459-480`).
+    Conscious fix vs the reference: ``mat3x3::inversed`` returns an
+    INFINITY-filled matrix when |det| < 1e-5 (`matrix.cu:459-463`), which
+    silently breaks normals for legitimately small uniform scales (a 1e-2
+    scale already has det 1e-6). Here small-but-nonsingular scales invert
+    exactly; truly singular inputs produce LAPACK inf/nan garbage either
+    way. The 4x4 `inverse` above keeps the reference contract (it feeds
+    camera math, where the reference relies on it).
     """
     m3 = m[..., :3, :3]
     return jnp.swapaxes(jnp.linalg.inv(m3), -1, -2)

@@ -83,9 +83,12 @@ def sample_image(key, packet, cam, config: RenderConfig, ray_chunk: int = 0):
     if _resolve_pipeline(config) == "fused":
         from ptre_tpu.ops.pallas import megakernel
 
-        seed = jax.random.randint(rng.fold(key, 0x5EED), (), 0, 2**31 - 1)
-        color = megakernel.trace_fused(seed, origins, dirs, packet, config)
-        return integrator.postprocess_sample(color, config.clamp_samples)
+        if megakernel.supports(packet):
+            seed = jax.random.randint(rng.fold(key, 0x5EED), (), 0, 2**31 - 1)
+            color = megakernel.trace_fused(seed, origins, dirs, packet, config)
+            return integrator.postprocess_sample(color, config.clamp_samples)
+        # unsupported packet (e.g. >8 materials or too many primitive
+        # tiles): fall back to the staged pipeline rather than crash
 
     if ray_chunk and px.shape[0] > ray_chunk:
         n = px.shape[0]

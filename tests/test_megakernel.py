@@ -113,3 +113,34 @@ def test_custom_material_table():
     assert np.all(np.isfinite(img))
     # somewhere the red material dominates: max red > max green among hits
     assert img[:, 0].max() > 0
+
+
+def test_supports_gates_materials_and_fallback():
+    """>8 materials must not crash the fused path: supports() goes False and
+    sample_image falls back to the staged pipeline."""
+    from ptre_tpu.models import demo, scene as sc
+    from ptre_tpu.ops import camera as cam_ops, rng
+    from ptre_tpu.ops.pallas import megakernel
+    from ptre_tpu.render import pathtracer as pt
+    from ptre_tpu.utils.config import RenderConfig
+
+    scn = demo.reference_demo_scene(8, 4)
+    for i in range(9):
+        scn.add_material(sc.Material(sc.MaterialKind.OREN_NAYAR,
+                                     (0.1 * i, 0.5, 0.5), 0.5))
+    pkt = scn.build_packet()
+    assert pkt.num_materials > 8
+    assert not megakernel.supports(pkt)
+
+    cam = cam_ops.Camera.create(width=16, height=8)
+    cfg = RenderConfig(width=16, height=8, intersect_backend="fused")
+    img = pt.sample_image(rng.key_for(7), pkt, cam, cfg)
+    assert img.shape == (16 * 8, 3)
+    assert bool(jnp.all(jnp.isfinite(img)))
+
+
+def test_supports_ok_for_demo_scene():
+    from ptre_tpu.models import demo
+    from ptre_tpu.ops.pallas import megakernel
+
+    assert megakernel.supports(demo.reference_demo_scene(8, 4).build_packet())

@@ -67,3 +67,42 @@ def test_emitted():
     e = np.asarray(mat.emitted(kinds, albedo, param))
     np.testing.assert_allclose(e[0], 0.0)
     np.testing.assert_allclose(e[1], [10.0, 9.0, 8.0])
+
+
+def test_inverse_singular_returns_infinity():
+    # singular -> INFINITY-filled matrix (`matrix.cu:141-145`, eps 0.00001f)
+    zero_scale = jnp.diag(jnp.array([0.0, 1.0, 1.0, 1.0], jnp.float32))
+    out = vm.inverse(zero_scale)
+    assert np.all(np.isinf(np.asarray(out)))
+    # well-conditioned matrices still invert exactly
+    m = jnp.asarray(np.diag([2.0, 4.0, 0.5, 1.0]).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(vm.inverse(m)), np.diag([0.5, 0.25, 2.0, 1.0]), atol=1e-6
+    )
+
+
+def test_inverse_singular_gradient_is_finite():
+    import jax
+
+    def f(s):
+        m = jnp.diag(jnp.array([s, 1.0, 1.0, 1.0], jnp.float32))
+        inv = vm.inverse(m)
+        return inv[0, 0]
+
+    g = jax.grad(f)(2.0)
+    np.testing.assert_allclose(np.asarray(g), -0.25, atol=1e-6)
+
+
+def test_get_model_read_does_not_dirty_but_mutation_does():
+    from ptre_tpu.models import demo
+
+    scn = demo.reference_demo_scene(8, 4)
+    scn.build_packet()
+    assert not scn.modified()
+    _ = scn.get_model("sph")  # read: no rebuild (`scene.cu:49` semantics)
+    assert not scn.modified()
+    scn.get_model("sph").set_transforms(0.5, 0.0, (0.0, 1.0, 0.0))
+    assert scn.modified()
+    scn.build_packet()
+    scn.get_model("sph").set_material(0)
+    assert scn.modified()

@@ -46,6 +46,21 @@ def _select_sweep(config: RenderConfig):
     return None  # ops.intersect.sweep default
 
 
+def _use_fused_sweep(config: RenderConfig, packet) -> bool:
+    """Route differentiable traces through the fused-selection kernel +
+    XLA replay (`ops.path_replay`) when applicable."""
+    if config.grad_sweep == "staged":
+        return False
+    from ptre_tpu.ops.pallas import megakernel
+
+    if config.grad_sweep == "fused":
+        return megakernel.dense_supported(packet)
+    return (
+        jax.default_backend() in ("tpu", "axon")
+        and megakernel.dense_supported(packet)
+    )
+
+
 def trace(key, origins, directions, packet, config: RenderConfig):
     """Trace one sample per ray → linear color (R, 3).
 
@@ -55,6 +70,13 @@ def trace(key, origins, directions, packet, config: RenderConfig):
       packet: ScenePacket.
       config: RenderConfig (max_depth, t range, sky, epsilons).
     """
+    if _use_fused_sweep(config, packet):
+        from ptre_tpu.ops import path_replay
+
+        return path_replay.trace_fused_grad(
+            key, origins, directions, packet, config
+        )
+
     world_tris = packet.world_triangles()  # hoisted: shared across bounces
     sweep_fn = _select_sweep(config)
 

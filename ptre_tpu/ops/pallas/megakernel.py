@@ -541,14 +541,20 @@ def _mega_kernel_dense(
     sph_ref,  # SMEM (S, 16)
     mat_ref,  # SMEM (8, 8)
     out_ref,  # VMEM (4, 8, lanes) block: rgb + spare
-    st_ref,  # VMEM (10, 8, lanes) f32 scratch: o, d, throughput, active
-    *,
+    *maybe_sel_and_scratch,  # [sel_ref (4*max_depth, 8, lanes) if record_sel,]
+    #                          st_ref (10, 8, lanes) f32 scratch
     n_tri: int,
     n_sph: int,
     max_depth: int,
     num_mats: int,
     external_rng: bool,
+    record_sel: bool = False,
 ):
+    if record_sel:
+        sel_ref, st_ref = maybe_sel_and_scratch
+    else:
+        (st_ref,) = maybe_sel_and_scratch
+        sel_ref = None
     t_min = scal_ref[0]
     t_max = scal_ref[1]
     det_eps = scal_ref[2]
@@ -577,7 +583,7 @@ def _mega_kernel_dense(
     _trace_block(st_ref, tri_ref, sph_ref, mat_ref, sky_ref, t_min, t_max,
                  det_eps, shadow_eps, pdf_eps, get_uniforms,
                  n_tri=n_tri, n_sph=n_sph, max_depth=max_depth,
-                 num_mats=num_mats)
+                 num_mats=num_mats, sel_ref=sel_ref)
 
     out_ref[0] = st_ref[6]
     out_ref[1] = st_ref[7]
@@ -587,13 +593,26 @@ def _mega_kernel_dense(
 
 def _trace_block(st_ref, tri_ref, sph_ref, mat_ref, sky_ref, t_min, t_max,
                  det_eps, shadow_eps, pdf_eps, get_uniforms, *, n_tri, n_sph,
-                 max_depth, num_mats):
+                 max_depth, num_mats, sel_ref=None):
     """Masked bounce loop over one (8, lanes) ray block in VMEM scratch.
 
     ``st_ref`` rows: o.xyz (0-2), d.xyz (3-5), throughput.rgb (6-8),
     active flag as 1.0/0.0 (9). Shared by the standalone dense megakernel
-    and the fully-fused render-sample kernel."""
+    and the fully-fused render-sample kernel.
+
+    ``sel_ref`` (optional, (4*max_depth, 8, lanes)): records per bounce the
+    winning primitive selection — rows [4b..4b+3] = tri index, sphere index,
+    use_sph, hit (floats). This is the forward half of the fused-sweep
+    gradient design: the O(R*P) closest-hit sweep stays in this kernel, and
+    `ops.path_replay.replay` re-derives the differentiable attributes from
+    the recorded selection in O(R*B) XLA outside."""
     shape = st_ref.shape[1:]
+    if sel_ref is not None:
+        # zero-init: bounces skipped by the all-dead early exit must read as
+        # miss (hit=0) in the replay
+        for b in range(max_depth):
+            for r in range(4):
+                sel_ref[4 * b + r] = jnp.zeros(shape, jnp.float32)
 
     def one_bounce(bounce):
         ox, oy, oz = st_ref[0], st_ref[1], st_ref[2]
@@ -607,6 +626,7 @@ def _trace_block(st_ref, tri_ref, sph_ref, mat_ref, sky_ref, t_min, t_max,
         bny = jnp.zeros(shape, jnp.float32)
         bnz = jnp.zeros(shape, jnp.float32)
         tri_mat = jnp.zeros(shape, jnp.float32)
+        tri_idx = jnp.zeros(shape, jnp.float32)
         for j in range(n_tri):
             v0x, v0y, v0z = tri_ref[j, 0], tri_ref[j, 1], tri_ref[j, 2]
             e1x = tri_ref[j, 3] - v0x
@@ -651,6 +671,7 @@ def _trace_block(st_ref, tri_ref, sph_ref, mat_ref, sky_ref, t_min, t_max,
             bny = jnp.where(upd, iny * sign, bny)
             bnz = jnp.where(upd, inz * sign, bnz)
             tri_mat = jnp.where(upd, tri_ref[j, 19], tri_mat)
+            tri_idx = jnp.where(upd, jnp.float32(j), tri_idx)
             tri_hit = tri_hit | acc
 
         tri_best = jnp.where(tri_hit, tri_t, t_max)
@@ -664,6 +685,7 @@ def _trace_block(st_ref, tri_ref, sph_ref, mat_ref, sky_ref, t_min, t_max,
         s_cz = jnp.zeros(shape, jnp.float32)
         s_ir = jnp.zeros(shape, jnp.float32)
         sph_mat = jnp.zeros(shape, jnp.float32)
+        sph_idx = jnp.zeros(shape, jnp.float32)
         for s in range(n_sph):
             cx, cy, cz = sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2]
             r = sph_ref[s, 3]
@@ -685,10 +707,17 @@ def _trace_block(st_ref, tri_ref, sph_ref, mat_ref, sky_ref, t_min, t_max,
             s_cz = jnp.where(upd, cz, s_cz)
             s_ir = jnp.where(upd, 1.0 / jnp.where(r == 0.0, 1.0, r), s_ir)
             sph_mat = jnp.where(upd, sph_ref[s, 5], sph_mat)
+            sph_idx = jnp.where(upd, jnp.float32(s), sph_idx)
             sph_hit = sph_hit | acc
 
         hit = tri_hit | sph_hit
         use_sph = sph_hit  # sphere candidates already bounded by tri_best
+
+        if sel_ref is not None:
+            sel_ref[4 * bounce + 0] = tri_idx
+            sel_ref[4 * bounce + 1] = sph_idx
+            sel_ref[4 * bounce + 2] = use_sph.astype(jnp.float32)
+            sel_ref[4 * bounce + 3] = (hit & active).astype(jnp.float32)
 
         # ---- merge winner + finish normals --------------------------------
         t_hit = jnp.where(use_sph, sph_t, tri_t)
@@ -747,17 +776,33 @@ def _trace_block(st_ref, tri_ref, sph_ref, mat_ref, sky_ref, t_min, t_max,
 @functools.partial(
     jax.jit,
     static_argnames=("n_tri", "n_sph", "lanes", "max_depth", "num_mats",
-                     "external_rng", "interpret"),
+                     "external_rng", "record_sel", "interpret"),
 )
 def _mega_call_dense(scalars, sky, seed, rays, urand, tris, sphs, mats,
                      n_tri, n_sph, lanes, max_depth, num_mats, external_rng,
-                     interpret=False):
+                     record_sel=False, interpret=False):
     n_lanes_total = rays.shape[2]
     urand_shape = urand.shape
+    out_specs = pl.BlockSpec((4, _DENSE_SUB, lanes), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((4, _DENSE_SUB, n_lanes_total),
+                                     jnp.float32)
+    if record_sel:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((4 * max_depth, _DENSE_SUB, lanes),
+                         lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((4 * max_depth, _DENSE_SUB, n_lanes_total),
+                                 jnp.float32),
+        ]
     out = pl.pallas_call(
         functools.partial(
             _mega_kernel_dense, n_tri=n_tri, n_sph=n_sph,
             max_depth=max_depth, num_mats=num_mats, external_rng=external_rng,
+            record_sel=record_sel,
         ),
         grid=(n_lanes_total // lanes,),
         in_specs=[
@@ -775,10 +820,8 @@ def _mega_call_dense(scalars, sky, seed, rays, urand, tris, sphs, mats,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((4, _DENSE_SUB, lanes), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, _DENSE_SUB, n_lanes_total),
-                                       jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((10, _DENSE_SUB, lanes), jnp.float32)],
         interpret=interpret,
     )(scalars, sky, seed, rays, urand, tris, sphs, mats)
@@ -821,6 +864,89 @@ def _mega_call(scalars, sky, seed, rays, urand, tris, sphs, mats, tri_tile,
         interpret=interpret,
     )(scalars, sky, seed, rays, urand, tris, sphs, mats)
     return out
+
+
+def dense_supported(packet) -> bool:
+    """Whether the dense-ray (serial SMEM sweep) kernel applies."""
+    return (
+        max(int(packet.num_triangles), 1) <= _DENSE_MAX_TRI
+        and max(int(packet.num_spheres), 1) <= _DENSE_MAX_SPH
+        and packet.num_materials <= _MAX_MATS
+    )
+
+
+def _build_urand(key, R, max_depth):
+    """External scatter uniforms, (2*max_depth, R): rows [2b, 2b+1] are the
+    (u1, u2) draws for bounce b — the shared convention between the fused
+    kernels' external-rng mode and the differentiable replay."""
+    rows = []
+    for b in range(max_depth):
+        bkey = _rng.fold(key, b)
+        k1, k2 = jax.random.split(bkey)
+        rows.append(jax.random.uniform(k1, (R,), jnp.float32))
+        rows.append(jax.random.uniform(k2, (R,), jnp.float32))
+    return jnp.stack(rows)
+
+
+def trace_fused_sel(key, o, d, packet, config, interpret=False):
+    """Trace one sample per ray, recording per-bounce primitive selections.
+
+    The forward half of the fused-sweep gradient path: runs the dense
+    megakernel with external (threefry) uniforms and returns
+
+      (sel, urand):
+        sel   (max_depth, 4, R) — tri index, sphere index, use_sph, hit
+        urand (2*max_depth, R)  — the scatter uniforms used
+
+    for `ops.path_replay.replay` to rebuild the path differentiably.
+    Requires `dense_supported(packet)`.
+    """
+    assert dense_supported(packet), "fused selection needs the dense kernel"
+    v0, v1, v2, n0, n1, n2 = packet.world_triangles()
+    R = o.shape[0]
+    n_tri_true = max(int(packet.num_triangles), 1)
+    n_sph_true = max(int(packet.num_spheres), 1)
+    mats = pack_mats(packet.mat_kind, packet.mat_albedo, packet.mat_param)
+    scalars = jnp.array(
+        [config.t_min, config.t_max, config.det_eps, config.shadow_eps,
+         config.pdf_eps, 0.0, 0.0, 0.0], jnp.float32,
+    )
+    sky = jnp.array(list(config.sky_bottom) + list(config.sky_top) + [0.0, 0.0],
+                    jnp.float32)
+    seed = jnp.zeros((1,), jnp.int32)  # unused in external-rng mode
+
+    lanes = _DENSE_LANES if R >= _DENSE_SUB * _DENSE_LANES else 128
+    block = _DENSE_SUB * lanes
+    rows = jnp.concatenate([o.T, d.T, jnp.zeros((2, R), o.dtype)], axis=0)
+    rays = _pad_to(rows, block, axis=1)
+    L = rays.shape[1] // _DENSE_SUB
+    rays = rays.reshape(8, _DENSE_SUB, L)
+    nt, ns = n_tri_true, n_sph_true
+    if v0.shape[0] == 0:
+        tris = jnp.zeros((1, 32), jnp.float32)
+    else:
+        tris = pack_tri32(v0[:nt], v1[:nt], v2[:nt], n0[:nt], n1[:nt],
+                          n2[:nt], packet.tri_valid[:nt],
+                          packet.tri_mat[:nt], 1)
+    if packet.sph_center.shape[0] == 0:
+        sphs = jnp.zeros((1, 16), jnp.float32)
+    else:
+        sphs = pack_sph16(packet.sph_center[:ns], packet.sph_radius[:ns],
+                          packet.sph_valid[:ns], packet.sph_mat[:ns], 1)
+
+    urand_flat = _build_urand(key, R, config.max_depth)  # (2B, R)
+    urand = _pad_to(urand_flat, block, axis=1)
+    urand = urand.reshape(urand.shape[0], _DENSE_SUB, L)
+
+    _, sel = _mega_call_dense(
+        scalars, sky, seed, rays, urand, tris, sphs, mats,
+        n_tri=nt, n_sph=ns, lanes=lanes,
+        max_depth=config.max_depth, num_mats=packet.num_materials,
+        external_rng=True, record_sel=True, interpret=interpret,
+    )
+    sel = sel.reshape(4 * config.max_depth, _DENSE_SUB * L)[:, :R]
+    sel = sel.reshape(config.max_depth, 4, R)
+    return sel, urand_flat
 
 
 def trace_fused(seed, o, d, packet, config, key=None, interpret=False):
@@ -876,13 +1002,7 @@ def trace_fused(seed, o, d, packet, config, key=None, interpret=False):
             sphs = pack_sph16(packet.sph_center[:ns], packet.sph_radius[:ns],
                               packet.sph_valid[:ns], packet.sph_mat[:ns], 1)
         if key is not None:
-            urows = []
-            for b in range(config.max_depth):
-                bkey = _rng.fold(key, b)
-                k1, k2 = jax.random.split(bkey)
-                urows.append(jax.random.uniform(k1, (R,), jnp.float32))
-                urows.append(jax.random.uniform(k2, (R,), jnp.float32))
-            urand = _pad_to(jnp.stack(urows), block, axis=1)
+            urand = _pad_to(_build_urand(key, R, config.max_depth), block, axis=1)
             urand = urand.reshape(urand.shape[0], _DENSE_SUB, L)
             external_rng = True
         else:
@@ -908,13 +1028,7 @@ def trace_fused(seed, o, d, packet, config, key=None, interpret=False):
                       packet.sph_mat, sph_tile)
 
     if key is not None:
-        rows = []
-        for b in range(config.max_depth):
-            bkey = _rng.fold(key, b)
-            k1, k2 = jax.random.split(bkey)
-            rows.append(jax.random.uniform(k1, (R,), jnp.float32))
-            rows.append(jax.random.uniform(k2, (R,), jnp.float32))
-        urand = _pad_to(jnp.stack(rows), lanes, axis=1)
+        urand = _pad_to(_build_urand(key, R, config.max_depth), lanes, axis=1)
         external_rng = True
     else:
         urand = jnp.zeros((8, 128), jnp.float32)  # unused hw-PRNG placeholder

@@ -1,0 +1,225 @@
+"""Differentiable path replay over fused-kernel-recorded selections.
+
+The fast gradient design for the BASELINE headline metric (forward+backward
+Mrays/s at 1080p): the staged integrator's per-bounce O(R*P) closest-hit
+sweep is detached (stop-gradient) anyway — discrete visibility is treated as
+locally constant, `ops.intersect.closest_hit` — so nothing is lost by moving
+the ENTIRE sweep into the fused Pallas megakernel and keeping only the O(R*B)
+differentiable tail in XLA:
+
+  1. `megakernel.trace_fused_sel` traces the whole path on-chip with external
+     (threefry) scatter uniforms and records, per bounce, the winning
+     primitive selection (tri index, sphere index, use_sph, hit);
+  2. `replay` (here) rebuilds the identical path in pure XLA from those
+     selections + the same uniforms: per bounce it gathers ONE primitive per
+     ray, re-derives (t, position, normal) differentiably
+     (`intersect.triangle_hit_attrs_t` / `sphere_hit_attrs_t`), applies the
+     same ONB cosine scatter and Oren-Nayar/emissive weights
+     (`material.cu:5-62` semantics), and accumulates the multiplicative
+     throughput exactly like `integrator.trace`.
+
+`jax.grad` through `replay` gives gradients w.r.t. transforms, geometry,
+materials, camera — with the selection indices as constants, which is the
+same detached-sampling estimator as the staged path, at a fraction of the
+forward cost (the sweep never enters autodiff, and the backward pass only
+sees O(R*B) work).
+
+Scatter math is kept bit-compatible with `megakernel._scatter_shade` (same
+formulas, same order) so the replayed path follows the kernel's selections
+consistently; `tests/test_path_replay.py` pins replay == staged-integrator
+equality under matched uniforms.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ptre_tpu.ops import rng as _rng
+from ptre_tpu.ops.intersect import sphere_hit_attrs_t, triangle_hit_attrs_t
+from ptre_tpu.utils.config import RenderConfig
+
+_PI = 3.14159265358979
+_TAU = 2.0 * _PI
+
+
+def _scatter_from_uniforms(n, d, u1, u2, pdf_eps):
+    """ONB cosine-weighted scatter from supplied uniforms.
+
+    Vectorized twin of the kernel's `_scatter_shade` sampling stage
+    (`onb.h:7-21` basis, `random.cu:96-107` cosine draw, degenerate-pdf
+    fallback `material.cu:15-18`). Returns (wi, pdf, cos_weight).
+    """
+    phi = _TAU * u1
+    sr = jnp.sqrt(u2)
+    lx = jnp.cos(phi) * sr
+    ly = jnp.sin(phi) * sr
+    lz = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
+
+    nx, ny, nz = n[:, 0], n[:, 1], n[:, 2]
+    big_x = jnp.abs(nx) > 0.9
+    ax = jnp.where(big_x, 0.0, 1.0)
+    ay = jnp.where(big_x, 1.0, 0.0)
+    vx = -nz * ay
+    vy = nz * ax
+    vz = nx * ay - ny * ax
+    vlen = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    vinv = 1.0 / jnp.where(vlen > 0.0, vlen, 1.0)
+    vx, vy, vz = vx * vinv, vy * vinv, vz * vinv
+    ux = vy * nz - vz * ny
+    uy = vz * nx - vx * nz
+    uz = vx * ny - vy * nx
+    wix = lx * ux + ly * vx + lz * nx
+    wiy = lx * uy + ly * vy + lz * ny
+    wiz = lx * uz + ly * vz + lz * nz
+
+    ndotwi = nx * wix + ny * wiy + nz * wiz
+    pdf = ndotwi * jnp.float32(1.0 / _PI)
+    degen = pdf < pdf_eps
+    wix = jnp.where(degen, nx, wix)
+    wiy = jnp.where(degen, ny, wiy)
+    wiz = jnp.where(degen, nz, wiz)
+    pdf = jnp.where(degen, jnp.float32(1.0 / _PI), pdf)
+    ndotwi = jnp.where(degen, 1.0, ndotwi)
+    cosw = jnp.maximum(0.0, ndotwi)
+    wi = jnp.stack([wix, wiy, wiz], axis=-1)
+    return wi, pdf, cosw
+
+
+def _oren_nayar_coeff(n, d, wi, cosw, sigma):
+    """Oren-Nayar A/B scalar coefficient, transcendental-free
+    (`material.cu:20-41` via the kernel's planar-projection identity)."""
+    s2 = sigma * sigma
+    A = 1.0 - 0.5 * s2 / (s2 + 0.33)
+    B = 0.45 * s2 / (s2 + 0.09)
+    wo = -d
+    li = jnp.sqrt(wi[:, 0] ** 2 + wi[:, 1] ** 2)
+    lo = jnp.sqrt(wo[:, 0] ** 2 + wo[:, 1] ** 2)
+    ci = jnp.where(li > 1e-12, wi[:, 0] / jnp.where(li > 0, li, 1.0), 1.0)
+    si = jnp.where(li > 1e-12, wi[:, 1] / jnp.where(li > 0, li, 1.0), 0.0)
+    co = jnp.where(lo > 1e-12, wo[:, 0] / jnp.where(lo > 0, lo, 1.0), 1.0)
+    so = jnp.where(lo > 1e-12, wo[:, 1] / jnp.where(lo > 0, lo, 1.0), 0.0)
+    cos_dphi = ci * co + si * so
+    cos_to = jnp.clip(jnp.einsum("rk,rk->r", wo, n), 0.0, 1.0)
+    cos_ti = jnp.clip(cosw, 0.0, 1.0)
+    cos_a = jnp.minimum(cos_ti, cos_to)
+    cos_b = jnp.maximum(cos_ti, cos_to)
+    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+    tan_b = jnp.sqrt(jnp.maximum(1.0 - cos_b * cos_b, 0.0)) / jnp.maximum(
+        cos_b, 1e-6
+    )
+    return (A + B * cos_dphi * sin_a * tan_b) * jnp.float32(1.0 / _PI)
+
+
+def replay(o, d, sel, urand, packet, config: RenderConfig):
+    """Differentiable replay of recorded paths → linear color (R, 3).
+
+    Args:
+      o, d: (R, 3) primary rays (differentiable, e.g. from camera params).
+      sel: (max_depth, 4, R) kernel-recorded selections (treated as ints).
+      urand: (2*max_depth, R) the scatter uniforms the kernel consumed.
+      packet: ScenePacket (differentiable leaves: transforms, spheres,
+        materials).
+      config: RenderConfig.
+    """
+    v0, v1, v2, n0, n1, n2 = packet.world_triangles()
+    have_tris = v0.shape[0] > 0
+    have_sphs = packet.sph_center.shape[0] > 0
+    if have_tris:
+        tri_packed = jnp.concatenate([v0, v1, v2, n0, n1, n2], axis=1)  # (T,18)
+    if have_sphs:
+        sph_packed = jnp.concatenate(
+            [packet.sph_center, packet.sph_radius[:, None]], axis=1
+        )  # (S, 4)
+
+    sky_b = jnp.asarray(config.sky_bottom, jnp.float32)
+    sky_t = jnp.asarray(config.sky_top, jnp.float32)
+    urand = urand.reshape(config.max_depth, 2, -1)
+
+    def bounce(carry, inputs):
+        o, d, color, active = carry
+        sel_b, u_b = inputs
+        i_tri = jax.lax.stop_gradient(sel_b[0].astype(jnp.int32))
+        i_sph = jax.lax.stop_gradient(sel_b[1].astype(jnp.int32))
+        use_sph = sel_b[2] > 0.5
+        hit = sel_b[3] > 0.5
+
+        R = o.shape[0]
+        p = jnp.zeros((R, 3), jnp.float32)
+        n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (R, 3))
+        mat_id = jnp.zeros((R,), jnp.int32)
+        if have_tris:
+            gt = tri_packed[i_tri]
+            _, p_tri, n_tri, _ = triangle_hit_attrs_t(
+                o, d, gt[:, 0:3], gt[:, 3:6], gt[:, 6:9],
+                gt[:, 9:12], gt[:, 12:15], gt[:, 15:18],
+            )
+            p, n = p_tri, n_tri
+            mat_id = packet.tri_mat[i_tri]
+        if have_sphs:
+            gs = sph_packed[i_sph]
+            _, p_sph, n_sph, _ = sphere_hit_attrs_t(
+                o, d, gs[:, 0:3], gs[:, 3], config.t_min
+            )
+            if have_tris:
+                p = jnp.where(use_sph[:, None], p_sph, p)
+                n = jnp.where(use_sph[:, None], n_sph, n)
+                mat_id = jnp.where(use_sph, packet.sph_mat[i_sph], mat_id)
+            else:
+                p, n = p_sph, n_sph
+                mat_id = packet.sph_mat[i_sph]
+
+        kind = packet.mat_kind[mat_id]
+        albedo = packet.mat_albedo[mat_id]
+        param = packet.mat_param[mat_id]
+        is_emissive = kind > 0.5
+
+        wi, pdf, cosw = _scatter_from_uniforms(n, d, u_b[0], u_b[1],
+                                               config.pdf_eps)
+        sigma = jnp.clip(param, 0.0, 1.0)
+        coeff = _oren_nayar_coeff(n, d, wi, cosw, sigma)
+        att = jnp.where(
+            is_emissive[:, None], param[:, None] * albedo, albedo * coeff[:, None]
+        )
+        w_pdf = jnp.where(is_emissive, 1.0, cosw / pdf)
+
+        a_sky = (d[:, 1] + 1.0) * 0.5
+        sky = (1.0 - a_sky)[:, None] * sky_b + a_sky[:, None] * sky_t
+
+        factor = jnp.where(hit[:, None], w_pdf[:, None] * att, sky)
+        color = color * jnp.where(active[:, None], factor, 1.0)
+
+        next_active = active & hit & ~is_emissive
+        o = jnp.where(next_active[:, None], p + config.shadow_eps * n, o)
+        d = jnp.where(next_active[:, None], wi, d)
+        return (o, d, color, next_active), None
+
+    if config.remat_bounces:
+        bounce = jax.checkpoint(bounce)
+
+    R = o.shape[0]
+    init = (o, d, jnp.ones((R, 3), jnp.float32), jnp.ones((R,), bool))
+    (_, _, color, _), _ = jax.lax.scan(bounce, init, (sel, urand))
+    return color
+
+
+def trace_fused_grad(key, o, d, packet, config: RenderConfig,
+                     interpret=None):
+    """Differentiable trace with the O(R*P) sweep fused on-chip.
+
+    Drop-in replacement for `integrator.trace` on scenes the dense megakernel
+    supports: the fused kernel records path selections (under stop_gradient),
+    then `replay` rebuilds the path differentiably. Same detached-visibility
+    gradient estimator as the staged path; identical output distribution
+    (threefry uniforms keyed identically to `trace_fused(key=...)`).
+    """
+    from ptre_tpu.ops.pallas import megakernel
+
+    if interpret is None:  # Pallas interpret mode off-TPU (CPU tests)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    sg = jax.lax.stop_gradient
+    sel, urand = megakernel.trace_fused_sel(
+        key, sg(o), sg(d), jax.tree.map(sg, packet), config,
+        interpret=interpret,
+    )
+    return replay(o, d, sel, urand, packet, config)

@@ -46,6 +46,12 @@ class RenderConfig:
     #: closest-hit sweep backend: "auto" (Pallas kernel on TPU, XLA
     #: elsewhere), "xla", or "pallas"
     intersect_backend: str = "auto"
+    #: sweep backend for DIFFERENTIABLE traces (`integrator.trace`):
+    #: "auto" (fused megakernel selection + XLA replay on TPU when the dense
+    #: kernel supports the scene — `ops.path_replay`; staged per-bounce sweep
+    #: elsewhere), "fused", or "staged". The sweep is stop-gradient either
+    #: way (detached visibility); "fused" moves its O(R*P) cost on-chip.
+    grad_sweep: str = "auto"
     #: rematerialize the bounce body in the backward pass (`jax.checkpoint`).
     #: Without it, autodiff of the bounce scan stores every per-bounce
     #: intermediate — ~20 (R, 3) arrays per bounce, which at 1080p overflows

@@ -55,12 +55,9 @@ _MAX_MATS = 8
 #: sentinel magnitude for empty tile AABBs (avoid inf arithmetic on VPU)
 _BOX_INF = 1e30
 #: primitive rows per tile in the culled lane-parallel sweep: small enough
-#: that a skipped tile saves ~60x its slab-test cost, large enough that the
-#: unrolled tile loop stays compileable (n_tiles = ceil(T / 64))
+#: that a skipped tile saves ~60x its slab-test cost; the tile loop is a
+#: fori_loop so the tile COUNT is unbounded (code size stays flat)
 _CULL_TILE = 64
-#: cap on the unrolled tile count — beyond this, tiles grow past _CULL_TILE
-#: to bound Mosaic code size / compile time
-_MAX_TILES = 64
 
 
 def morton_order(v0, v1, v2, valid):
@@ -144,22 +141,28 @@ def pack_sph16(center, radius, valid, mat, tile):
     return _pad_to(cols, tile, axis=0)
 
 
+#: VMEM-residency cap for the fused kernels' (T, 32) f32 triangle table:
+#: 32768 * 128 B = 4 MiB of the ~16 MiB VMEM, leaving room for ray blocks +
+#: scratch. Bigger scenes fall back to the staged sweep (which also keeps
+#: the table resident but streams the ray grid, with XLA managing spills).
+_MAX_FUSED_TRIS = 32768
+_MAX_FUSED_SPHS = 4096
+
+
 def supports(packet) -> bool:
     """Whether the fused megakernel can run this packet.
 
     Gates (callers fall back to the staged pipeline, never crash):
       * material table must fit the unrolled SMEM select (<= _MAX_MATS rows);
-      * the padded primitive arrays must not unroll into more than _MAX_TILES
-        tiles each (Mosaic code size / compile time bound).
+      * primitive tables must fit the VMEM residency budget. Tile count is
+        NOT a limit — the tile sweep is a fori_loop, not an unroll.
     """
     if packet.num_materials > _MAX_MATS:
         return False
-    n_tri = packet.tri_valid.shape[0]
-    n_sph = packet.sph_center.shape[0]
-    tri_tile = _tile_for(max(n_tri, 1))
-    sph_tile = _tile_for(max(n_sph, 1))
-    n_tiles = -(-max(n_tri, 1) // tri_tile) + -(-max(n_sph, 1) // sph_tile)
-    return n_tiles <= _MAX_TILES
+    return (
+        packet.tri_valid.shape[0] <= _MAX_FUSED_TRIS
+        and packet.sph_center.shape[0] <= _MAX_FUSED_SPHS
+    )
 
 
 def pack_mats(kind, albedo, param):
@@ -192,15 +195,18 @@ def _mega_kernel(
     rays_ref,  # (8, lanes) block
     urand_ref,  # (2*max_depth, lanes) block: precomputed uniforms (or 1x1 dummy)
     tri_ref,  # (T_pad, 32) resident
+    box_ref,  # SMEM (n_tri_tiles, 8): per-tile AABBs (lo.xyz hi.xyz pad pad)
     sph_ref,  # (S_pad, 16) resident
     mat_ref,  # (8, 8) SMEM
     out_ref,  # (4, lanes) block out: rgb + spare
+    scr_ref,  # VMEM (40, lanes) f32 scratch: sweep accum (0-2) + attr gather (8-39)
     *,
     tri_tile: int,
     sph_tile: int,
     max_depth: int,
     num_mats: int,
     external_rng: bool,
+    cull: bool,
 ):
     t_min = scal_ref[0]
     t_max = scal_ref[1]
@@ -227,43 +233,95 @@ def _mega_kernel(
     n_tri_tiles = tri_ref.shape[0] // tri_tile
     n_sph_tiles = sph_ref.shape[0] // sph_tile
 
+    def _safe_inv(c):
+        # slab-test reciprocal: clamp |c| away from 0, keep the sign
+        return 1.0 / jnp.where(jnp.abs(c) < 1e-12,
+                               jnp.where(c >= 0.0, 1e-12, -1e-12), c)
+
     for bounce in range(max_depth):
-        # ---- closest-hit sweep (same structure as intersect_kernel) -------
-        best_t = jnp.full((1, lanes), _BIG, jnp.float32)
-        best_i = jnp.zeros((1, lanes), jnp.int32)
-        tri_hit = jnp.zeros((1, lanes), jnp.bool_)
-        for jt in range(n_tri_tiles):
-            blk = tri_ref[jt * tri_tile : (jt + 1) * tri_tile, :]
-            v0x, v0y, v0z = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
-            v1x, v1y, v1z = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
-            v2x, v2y, v2z = blk[:, 6:7], blk[:, 7:8], blk[:, 8:9]
-            valid = blk[:, 18:19] > 0.5
-            e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-            e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            inv_det = 1.0 / jnp.where(jnp.abs(det) < det_eps, 1.0, det)
-            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-            acc = (
-                (jnp.abs(det) >= det_eps)
-                & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t >= t_min) & (t <= t_max) & valid
-            )
-            tm = jnp.where(acc, t, _BIG)
-            tile_min = jnp.min(tm, axis=0, keepdims=True)
-            tile_arg = jnp.argmin(tm, axis=0).reshape(1, -1).astype(jnp.int32)
-            upd = tile_min < best_t
-            best_i = jnp.where(upd, jt * tri_tile + tile_arg, best_i)
-            best_t = jnp.where(upd, tile_min, best_t)
-            tri_hit = tri_hit | jnp.any(acc, axis=0, keepdims=True)
+        # ---- triangle closest-hit sweep: fori_loop over Morton-ordered ----
+        # tiles, each guarded by a per-tile AABB slab test (`pl.when` skip).
+        # This is the live integration of the tile-culling design: the
+        # TPU-native answer to the reference's brute-force scaling cliff
+        # (`path_tracer.cu:263-282`, README "BVH" TODO) — tile-grained
+        # traversal instead of per-node pointer chasing. Accumulators live
+        # in VMEM scratch because Mosaic cannot legalize scf.if/scf.for with
+        # vector results.
+        scr_ref[0:1, :] = jnp.full((1, lanes), _BIG, jnp.float32)  # best_t
+        scr_ref[1:2, :] = jnp.zeros((1, lanes), jnp.float32)  # best_i (f32)
+        scr_ref[2:3, :] = jnp.zeros((1, lanes), jnp.float32)  # tri_hit flag
+        if cull:
+            ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+            act_f = active.astype(jnp.float32)
+
+        def tri_tile_body(jt, carry):
+            def sweep_tile():
+                blk = tri_ref[pl.dslice(jt * tri_tile, tri_tile), :]
+                v0x, v0y, v0z = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
+                v1x, v1y, v1z = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
+                v2x, v2y, v2z = blk[:, 6:7], blk[:, 7:8], blk[:, 8:9]
+                valid = blk[:, 18:19] > 0.5
+                e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+                e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = 1.0 / jnp.where(jnp.abs(det) < det_eps, 1.0, det)
+                tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                acc = (
+                    (jnp.abs(det) >= det_eps)
+                    & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t >= t_min) & (t <= t_max) & valid
+                )
+                tm = jnp.where(acc, t, _BIG)
+                tile_min = jnp.min(tm, axis=0, keepdims=True)
+                tile_arg = jnp.argmin(tm, axis=0).reshape(1, -1)
+                best = scr_ref[0:1, :]
+                upd = tile_min < best
+                base_f = (jt * tri_tile).astype(jnp.float32)
+                scr_ref[1:2, :] = jnp.where(
+                    upd, base_f + tile_arg.astype(jnp.float32), scr_ref[1:2, :]
+                )
+                scr_ref[0:1, :] = jnp.where(upd, tile_min, best)
+                scr_ref[2:3, :] = jnp.maximum(
+                    scr_ref[2:3, :],
+                    jnp.any(acc, axis=0, keepdims=True).astype(jnp.float32),
+                )
+
+            if cull:
+                lox, loy, loz = box_ref[jt, 0], box_ref[jt, 1], box_ref[jt, 2]
+                hix, hiy, hiz = box_ref[jt, 3], box_ref[jt, 4], box_ref[jt, 5]
+                # sign-aware slab test: empty (lo > hi) boxes always miss
+                tnx = (jnp.where(ivx >= 0.0, lox, hix) - ox) * ivx
+                tfx = (jnp.where(ivx >= 0.0, hix, lox) - ox) * ivx
+                tny = (jnp.where(ivy >= 0.0, loy, hiy) - oy) * ivy
+                tfy = (jnp.where(ivy >= 0.0, hiy, loy) - oy) * ivy
+                tnz = (jnp.where(ivz >= 0.0, loz, hiz) - oz) * ivz
+                tfz = (jnp.where(ivz >= 0.0, hiz, loz) - oz) * ivz
+                tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)
+                tf = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
+                lane_ok = (
+                    (tn <= tf) & (tf >= t_min) & (tn <= scr_ref[0:1, :])
+                ).astype(jnp.float32) * act_f
+
+                @pl.when(jnp.max(lane_ok) > 0.5)
+                def _():
+                    sweep_tile()
+            else:
+                sweep_tile()
+            return carry
+
+        jax.lax.fori_loop(0, n_tri_tiles, tri_tile_body, 0)
+        best_t = scr_ref[0:1, :]
+        best_if = scr_ref[1:2, :]
+        tri_hit = scr_ref[2:3, :] > 0.5
 
         tri_best = jnp.where(tri_hit, best_t, t_max)
 
@@ -294,16 +352,32 @@ def _mega_kernel(
         hit = tri_hit | sph_hit
         use_sph = sph_hit
 
-        # ---- winner attribute gather: one-hot MXU matmul per tile ---------
-        tri_attr = jnp.zeros((32, lanes), jnp.float32)
-        for jt in range(n_tri_tiles):
-            blk = tri_ref[jt * tri_tile : (jt + 1) * tri_tile, :]
-            rows = jax.lax.broadcasted_iota(jnp.int32, (tri_tile, lanes), 0)
-            onehot = (rows + jt * tri_tile == best_i).astype(jnp.float32)
-            tri_attr = tri_attr + jax.lax.dot_general(
-                blk, onehot, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        # ---- winner attribute gather: one-hot MXU matmul per tile, only
+        # for tiles that actually contain some lane's winner ----------------
+        scr_ref[8:40, :] = jnp.zeros((32, lanes), jnp.float32)
+        tri_hit_f = tri_hit.astype(jnp.float32)
+
+        def gather_tile_body(jt, carry):
+            base_f = (jt * tri_tile).astype(jnp.float32)
+            in_tile = (
+                (best_if >= base_f) & (best_if < base_f + tri_tile)
+            ).astype(jnp.float32) * tri_hit_f
+
+            @pl.when(jnp.max(in_tile) > 0.5)
+            def _():
+                blk = tri_ref[pl.dslice(jt * tri_tile, tri_tile), :]
+                rows = jax.lax.broadcasted_iota(
+                    jnp.float32, (tri_tile, lanes), 0
+                )
+                onehot = ((rows + base_f) == best_if).astype(jnp.float32)
+                scr_ref[8:40, :] = scr_ref[8:40, :] + jax.lax.dot_general(
+                    blk, onehot, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return carry
+
+        jax.lax.fori_loop(0, n_tri_tiles, gather_tile_body, 0)
+        tri_attr = scr_ref[8:40, :]
         sph_attr = jnp.zeros((16, lanes), jnp.float32)
         for js in range(n_sph_tiles):
             blk = sph_ref[js * sph_tile : (js + 1) * sph_tile, :]
@@ -831,17 +905,18 @@ def _mega_call_dense(scalars, sky, seed, rays, urand, tris, sphs, mats,
 @functools.partial(
     jax.jit,
     static_argnames=("tri_tile", "sph_tile", "lanes", "max_depth",
-                     "num_mats", "external_rng", "interpret"),
+                     "num_mats", "external_rng", "cull", "interpret"),
 )
-def _mega_call(scalars, sky, seed, rays, urand, tris, sphs, mats, tri_tile,
-               sph_tile, lanes, max_depth, num_mats, external_rng,
-               interpret=False):
+def _mega_call(scalars, sky, seed, rays, urand, tris, boxes, sphs, mats,
+               tri_tile, sph_tile, lanes, max_depth, num_mats, external_rng,
+               cull=True, interpret=False):
     r_pad = rays.shape[1]
     urand_rows = urand.shape[0]
     out = pl.pallas_call(
         functools.partial(
             _mega_kernel, tri_tile=tri_tile, sph_tile=sph_tile,
             max_depth=max_depth, num_mats=num_mats, external_rng=external_rng,
+            cull=cull,
         ),
         grid=(r_pad // lanes,),
         in_specs=[
@@ -855,14 +930,16 @@ def _mega_call(scalars, sky, seed, rays, urand, tris, sphs, mats, tri_tile,
             else pl.BlockSpec((urand_rows, urand.shape[1]), lambda i: (0, 0),
                               memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile AABBs
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # material table: scalar reads
         ],
         out_specs=pl.BlockSpec((4, lanes), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, r_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((40, lanes), jnp.float32)],
         interpret=interpret,
-    )(scalars, sky, seed, rays, urand, tris, sphs, mats)
+    )(scalars, sky, seed, rays, urand, tris, boxes, sphs, mats)
     return out
 
 
@@ -949,7 +1026,8 @@ def trace_fused_sel(key, o, d, packet, config, interpret=False):
     return sel, urand_flat
 
 
-def trace_fused(seed, o, d, packet, config, key=None, interpret=False):
+def trace_fused(seed, o, d, packet, config, key=None, interpret=False,
+                cull=True):
     """Trace one sample per ray fully on-chip → linear color (R, 3).
 
     Args:
@@ -962,6 +1040,9 @@ def trace_fused(seed, o, d, packet, config, key=None, interpret=False):
         precomputed with the SAME draws as `ops.integrator.trace` so the
         fused result matches the staged path (up to float reassociation);
         also the CPU-testable mode, since interpret mode has no hardware PRNG.
+      cull: lane-parallel path only — Morton-order triangles and slab-test
+        per-tile AABBs to skip whole tiles (False = brute-force reference
+        behavior, for A/B correctness/benchmarks).
     """
     v0, v1, v2, n0, n1, n2 = packet.world_triangles()
     R = o.shape[0]
@@ -1016,14 +1097,31 @@ def trace_fused(seed, o, d, packet, config, key=None, interpret=False):
         )
         return out.reshape(4, _DENSE_SUB * L)[:3, :R].T
 
-    tri_tile = _tile_for(n_tri)
+    # Lane-parallel path for larger scenes: Morton-order the world triangles
+    # so each fixed-size tile is spatially compact, then hand the kernel a
+    # per-tile AABB table for the slab-test tile culling (`cull`).
+    tri_tile = _CULL_TILE if cull else _tile_for(n_tri)
     sph_tile = _tile_for(n_sph)
     lanes = _lanes_for(max(tri_tile, sph_tile))
 
+    tri_valid, tri_mat = packet.tri_valid, packet.tri_mat
+    if cull and v0.shape[0] > 0:
+        perm = morton_order(v0, v1, v2, tri_valid)
+        v0, v1, v2 = v0[perm], v1[perm], v2[perm]
+        n0, n1, n2 = n0[perm], n1[perm], n2[perm]
+        tri_valid, tri_mat = tri_valid[perm], tri_mat[perm]
+
     rows = jnp.concatenate([o.T, d.T, jnp.zeros((2, R), o.dtype)], axis=0)
     rays = _pad_to(rows, lanes, axis=1)
-    tris = pack_tri32(v0, v1, v2, n0, n1, n2, packet.tri_valid,
-                      packet.tri_mat, tri_tile)
+    if v0.shape[0] == 0:
+        tris = jnp.zeros((tri_tile, 32), jnp.float32)
+        boxes = jnp.concatenate(
+            [jnp.full((1, 3), _BOX_INF), jnp.full((1, 3), -_BOX_INF),
+             jnp.zeros((1, 2))], axis=1,
+        ).astype(jnp.float32)
+    else:
+        tris = pack_tri32(v0, v1, v2, n0, n1, n2, tri_valid, tri_mat, tri_tile)
+        boxes = pack_tile_boxes(v0, v1, v2, tri_valid, tri_tile)
     sphs = pack_sph16(packet.sph_center, packet.sph_radius, packet.sph_valid,
                       packet.sph_mat, sph_tile)
 
@@ -1035,9 +1133,9 @@ def trace_fused(seed, o, d, packet, config, key=None, interpret=False):
         external_rng = False
 
     out = _mega_call(
-        scalars, sky, seed, rays, urand, tris, sphs, mats,
+        scalars, sky, seed, rays, urand, tris, boxes, sphs, mats,
         tri_tile=tri_tile, sph_tile=sph_tile, lanes=lanes,
         max_depth=config.max_depth, num_mats=packet.num_materials,
-        external_rng=external_rng, interpret=interpret,
+        external_rng=external_rng, cull=cull, interpret=interpret,
     )
     return out[:3, :R].T

@@ -56,6 +56,7 @@ class Renderer:
         spp_per_frame: int = 1,
         ray_chunk: int = 0,
         row_chunk: int = 0,
+        present_async: bool = True,
     ):
         self.scene = scene
         self.camera = camera
@@ -76,6 +77,13 @@ class Renderer:
         self._key = rng.key_for(self.config.seed)
         self._frame_index = 0
         self.metrics = Metrics()
+        #: display-last-frame async overlap (`path_tracer.cu:368-404`): the
+        #: render step for frame N is dispatched and left running while the
+        #: PREVIOUS frame's (device-resident) display image is materialized
+        #: and presented — the host never hard-syncs on the frame it just
+        #: launched. present_async=False restores synchronous presentation.
+        self.present_async = present_async
+        self._pending_disp = None
 
     # -- facade surface (`renderer.h:26-36`) --------------------------------
     @property
@@ -101,6 +109,8 @@ class Renderer:
     # -- frame loop ----------------------------------------------------------
     def begin_frame(self):
         if self._pending_engine is not None:
+            if self._pending_engine != self._engine:
+                self._pending_disp = None  # drop in-flight frame on switch
             self._engine = self._pending_engine
             self._pending_engine = None
 
@@ -129,7 +139,24 @@ class Renderer:
                 spp=self.spp_per_frame,
                 ray_chunk=self.ray_chunk,
             )
-            img = np.asarray(pt.to_display(self.accum.linear, self.config.sqrt_gamma))
+            # async dispatch-ahead: convert to display ON DEVICE, then
+            # present the previous frame's image (materializing it is the
+            # only host sync — by now it has had a full frame to finish);
+            # mirrors the reference's display-last-completed-frame contract
+            # (`path_tracer.cu:375-385`)
+            disp = pt.to_display(self.accum.linear, self.config.sqrt_gamma)
+            if self.present_async:
+                prev, self._pending_disp = self._pending_disp, disp
+                if prev is None:
+                    # first frame: the cleared framebuffer (memset 0 —
+                    # `path_tracer.cu:394-400`)
+                    img = np.zeros(
+                        (self.camera.height, self.camera.width, 3), np.uint8
+                    )
+                else:
+                    img = np.asarray(prev)
+            else:
+                img = np.asarray(disp)
             rays = (
                 self.camera.width * self.camera.height
                 * self.spp_per_frame * self.config.max_depth
@@ -143,6 +170,15 @@ class Renderer:
             rays = self.camera.width * self.camera.height
         self.metrics.frame(time.perf_counter() - t0, rays, int(self.accum.frame))
         self._frame_index += 1
+        return img
+
+    def flush(self) -> Optional[np.ndarray]:
+        """Materialize and return the in-flight frame (None if none pending).
+        The async analogue of the reference's final cudaDeviceSynchronize."""
+        if self._pending_disp is None:
+            return None
+        img = np.asarray(self._pending_disp)
+        self._pending_disp = None
         return img
 
     def run(

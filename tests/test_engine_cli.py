@@ -162,3 +162,33 @@ def test_cli_raster_engine(tmp_path):
     assert rc == 0
     img = read_ppm(str(tmp_path / "r" / "frame_00000.ppm"))
     assert img.shape == (16, 24, 3)
+
+
+def test_present_lags_by_one_frame():
+    """Async dispatch-ahead contract (`path_tracer.cu:368-404`): draw_frame
+    presents the PREVIOUS frame's display image; the first frame presents
+    the cleared framebuffer. flush() materializes the in-flight frame."""
+    r = _renderer()
+    r_sync = _renderer(present_async=False)
+
+    f0 = r.draw_frame()
+    assert (f0 == 0).all()  # cleared framebuffer (memset 0)
+    s0 = r_sync.draw_frame()
+    f1 = r.draw_frame()
+    np.testing.assert_array_equal(f1, s0)  # lag-by-one vs sync
+    s1 = r_sync.draw_frame()
+    f2 = r.draw_frame()
+    np.testing.assert_array_equal(f2, s1)
+    # flush materializes the in-flight frame 2
+    s2 = r_sync.draw_frame()
+    np.testing.assert_array_equal(r.flush(), s2)
+    assert r.flush() is None
+
+
+def test_engine_switch_drops_inflight_frame():
+    r = _renderer()
+    r.draw_frame()
+    r.toggle_engine()
+    img = r.draw_frame()  # raster presents synchronously
+    assert img.shape == (16, 24, 3)
+    assert r._pending_disp is None

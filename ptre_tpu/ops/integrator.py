@@ -100,7 +100,7 @@ def trace(key, origins, directions, packet, config: RenderConfig):
             config.pdf_eps,
         )
 
-        sky = materials.sky_attenuation(d, config.sky_bottom, config.sky_top)
+        sky = materials.sky_attenuation(d, packet.sky_bottom, packet.sky_top)
 
         # factor for this bounce: scatter term on hit, sky on miss
         hit_factor = (srec.cos_weight / srec.pdf)[:, None] * srec.attenuation

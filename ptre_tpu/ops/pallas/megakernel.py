@@ -30,8 +30,13 @@ Integrator semantics are the reference contract, identical to
 gradient on miss, degenerate-pdf fallback, shadow-epsilon offsets, fixed
 max_depth with masked terminated lanes, per-sample clamp done by the caller.
 
-Forward-only: the gradient/training path keeps the staged closest-hit with
-its detached-sweep + differentiable-recompute structure.
+Gradients: the dense kernel optionally RECORDS per-bounce winning-primitive
+selections (`trace_fused_sel`); `ops.path_replay` then rebuilds the path
+differentiably in O(R*B) XLA — the fused-sweep gradient design that keeps
+the O(R*P) sweep out of autodiff entirely. The lane-parallel variant adds
+Morton-ordered tile AABB culling (`morton_order`/`pack_tile_boxes` + the
+in-kernel slab test), the TPU-native answer to the reference's brute-force
+scaling cliff (`path_tracer.cu:263-282`, README "BVH" TODO).
 """
 
 from __future__ import annotations
@@ -988,8 +993,9 @@ def trace_fused_sel(key, o, d, packet, config, interpret=False):
         [config.t_min, config.t_max, config.det_eps, config.shadow_eps,
          config.pdf_eps, 0.0, 0.0, 0.0], jnp.float32,
     )
-    sky = jnp.array(list(config.sky_bottom) + list(config.sky_top) + [0.0, 0.0],
-                    jnp.float32)
+    sky = jnp.concatenate(
+        [packet.sky_bottom, packet.sky_top, jnp.zeros(2, jnp.float32)]
+    ).astype(jnp.float32)
     seed = jnp.zeros((1,), jnp.int32)  # unused in external-rng mode
 
     lanes = _DENSE_LANES if R >= _DENSE_SUB * _DENSE_LANES else 128
@@ -1058,8 +1064,9 @@ def trace_fused(seed, o, d, packet, config, key=None, interpret=False,
         [config.t_min, config.t_max, config.det_eps, config.shadow_eps,
          config.pdf_eps, 0.0, 0.0, 0.0], jnp.float32,
     )
-    sky = jnp.array(list(config.sky_bottom) + list(config.sky_top) + [0.0, 0.0],
-                    jnp.float32)
+    sky = jnp.concatenate(
+        [packet.sky_bottom, packet.sky_top, jnp.zeros(2, jnp.float32)]
+    ).astype(jnp.float32)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
 
     dense = n_tri_true <= _DENSE_MAX_TRI and n_sph_true <= _DENSE_MAX_SPH

@@ -303,8 +303,9 @@ def sample_accum_fused(seed, packet, cam, accum_planar, sample_n, config,
         jnp.array([1.0 / W, 1.0 / H], jnp.float32),
         jnp.zeros((8,), jnp.float32),
     ])
-    sky = jnp.array(list(config.sky_bottom) + list(config.sky_top) + [0.0, 0.0],
-                    jnp.float32)
+    sky = jnp.concatenate(
+        [packet.sky_bottom, packet.sky_top, jnp.zeros(2, jnp.float32)]
+    ).astype(jnp.float32)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
     camv = camera_rows(cam)
 

@@ -111,6 +111,19 @@ def _oren_nayar_coeff(n, d, wi, cosw, sigma):
     return (A + B * cos_dphi * sin_a * tan_b) * jnp.float32(1.0 / _PI)
 
 
+def _onehot_gather(idx, table):
+    """TPU-native row gather: ``one_hot(idx) @ table``.
+
+    XLA lowers dynamic gathers to scalar loops on TPU (≈100x slower than
+    compute at 2M rays); a one-hot matmul instead rides the MXU with the
+    one-hot fused into the operand — the same trick the fused kernel uses
+    for its winner-attribute fetch. Backward is ``one_hotᵀ @ cotangent``,
+    an equally fast scatter-add matmul.
+    """
+    oh = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype)
+    return oh @ table
+
+
 def replay(o, d, sel, urand, packet, config: RenderConfig):
     """Differentiable replay of recorded paths → linear color (R, 3).
 
@@ -119,21 +132,30 @@ def replay(o, d, sel, urand, packet, config: RenderConfig):
       sel: (max_depth, 4, R) kernel-recorded selections (treated as ints).
       urand: (2*max_depth, R) the scatter uniforms the kernel consumed.
       packet: ScenePacket (differentiable leaves: transforms, spheres,
-        materials).
+        materials, sky).
       config: RenderConfig.
     """
     v0, v1, v2, n0, n1, n2 = packet.world_triangles()
     have_tris = v0.shape[0] > 0
     have_sphs = packet.sph_center.shape[0] > 0
+    # per-primitive tables with material columns appended: ONE one-hot
+    # matmul per primitive class gathers geometry + material together
+    mat_cols = jnp.concatenate(
+        [packet.mat_kind.astype(jnp.float32)[:, None], packet.mat_albedo,
+         packet.mat_param[:, None]], axis=1,
+    )  # (M, 5): kind, albedo.rgb, param
     if have_tris:
-        tri_packed = jnp.concatenate([v0, v1, v2, n0, n1, n2], axis=1)  # (T,18)
+        tri_packed = jnp.concatenate(
+            [v0, v1, v2, n0, n1, n2, mat_cols[packet.tri_mat]], axis=1
+        )  # (T, 23)
     if have_sphs:
         sph_packed = jnp.concatenate(
-            [packet.sph_center, packet.sph_radius[:, None]], axis=1
-        )  # (S, 4)
+            [packet.sph_center, packet.sph_radius[:, None],
+             mat_cols[packet.sph_mat]], axis=1
+        )  # (S, 9)
 
-    sky_b = jnp.asarray(config.sky_bottom, jnp.float32)
-    sky_t = jnp.asarray(config.sky_top, jnp.float32)
+    sky_b = jnp.asarray(packet.sky_bottom, jnp.float32)
+    sky_t = jnp.asarray(packet.sky_top, jnp.float32)
     urand = urand.reshape(config.max_depth, 2, -1)
 
     def bounce(carry, inputs):
@@ -147,31 +169,31 @@ def replay(o, d, sel, urand, packet, config: RenderConfig):
         R = o.shape[0]
         p = jnp.zeros((R, 3), jnp.float32)
         n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (R, 3))
-        mat_id = jnp.zeros((R,), jnp.int32)
+        matc = jnp.zeros((R, 5), jnp.float32)
         if have_tris:
-            gt = tri_packed[i_tri]
+            gt = _onehot_gather(i_tri, tri_packed)
             _, p_tri, n_tri, _ = triangle_hit_attrs_t(
                 o, d, gt[:, 0:3], gt[:, 3:6], gt[:, 6:9],
                 gt[:, 9:12], gt[:, 12:15], gt[:, 15:18],
             )
             p, n = p_tri, n_tri
-            mat_id = packet.tri_mat[i_tri]
+            matc = gt[:, 18:23]
         if have_sphs:
-            gs = sph_packed[i_sph]
+            gs = _onehot_gather(i_sph, sph_packed)
             _, p_sph, n_sph, _ = sphere_hit_attrs_t(
                 o, d, gs[:, 0:3], gs[:, 3], config.t_min
             )
             if have_tris:
                 p = jnp.where(use_sph[:, None], p_sph, p)
                 n = jnp.where(use_sph[:, None], n_sph, n)
-                mat_id = jnp.where(use_sph, packet.sph_mat[i_sph], mat_id)
+                matc = jnp.where(use_sph[:, None], gs[:, 4:9], matc)
             else:
                 p, n = p_sph, n_sph
-                mat_id = packet.sph_mat[i_sph]
+                matc = gs[:, 4:9]
 
-        kind = packet.mat_kind[mat_id]
-        albedo = packet.mat_albedo[mat_id]
-        param = packet.mat_param[mat_id]
+        kind = matc[:, 0]
+        albedo = matc[:, 1:4]
+        param = matc[:, 4]
         is_emissive = kind > 0.5
 
         wi, pdf, cosw = _scatter_from_uniforms(n, d, u_b[0], u_b[1],

@@ -130,6 +130,8 @@ def differentiable_params(packet, cam: cam_ops.Camera):
         "sph_radius": packet.sph_radius,
         "mat_albedo": packet.mat_albedo,
         "mat_param": packet.mat_param,
+        "sky_bottom": packet.sky_bottom,
+        "sky_top": packet.sky_top,
         "cam_position": cam.position,
         "cam_forward": cam.forward,
         "cam_fov": cam.fov_degrees,
@@ -143,6 +145,8 @@ def _apply_params(params, packet, cam):
         sph_radius=params["sph_radius"],
         mat_albedo=params["mat_albedo"],
         mat_param=params["mat_param"],
+        sky_bottom=params["sky_bottom"],
+        sky_top=params["sky_top"],
     )
     cam = cam.replace(
         position=params["cam_position"],
@@ -185,6 +189,12 @@ def shard_train_step(
             img = _sample_rows(rng.fold(lkey, s), pkt, lcam, config, y0, rows)
             return acc + img.reshape(rows, cam.width, 3), None
 
+        if config.remat_bounces:
+            # sample-level remat: keep ONE sample's backward residuals live
+            # at a time (the scan would otherwise store local_spp of them —
+            # OOM at 1080p x 64spp on a 16 GB chip)
+            body = jax.checkpoint(body)
+
         acc, _ = jax.lax.scan(
             body, jnp.zeros((rows, cam.width, 3), jnp.float32), jnp.arange(local_spp)
         )
@@ -202,13 +212,16 @@ def shard_train_step(
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, ("dp", "sp")), grads)
         return jax.lax.pmean(loss, "dp"), grads
 
-    loss, grads = jax.shard_map(
+    # jit is REQUIRED here (not just an optimization): the sample-level
+    # jax.checkpoint inside local_loss lowers to closed_call, which eager
+    # shard_map cannot evaluate
+    loss, grads = jax.jit(jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P(), P(), P("dp", None, None), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )(params, packet, target, key)
+    ))(params, packet, target, key)
 
     new_params = (
         jax.tree.map(lambda p, g: p - lr * g, params, grads) if lr else params

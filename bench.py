@@ -96,10 +96,6 @@ def _bench_fwdbwd(W, H, steps):
     def loss(par, k, spp):
         pk, cm = sh._apply_params(par, pkt, cam)
 
-        # sample-level remat: without it the scan stores every sample's
-        # bounce residuals (64 x ~2 GB at 1080p -> OOM); checkpointing the
-        # body keeps one sample's residuals live at a time
-        @jax.checkpoint
         def body(acc, s):
             sk = rng.fold(k, s)
             jit = rng.pixel_jitter(rng.fold(sk, 0x9E37), (px.shape[0],))
@@ -109,16 +105,25 @@ def _bench_fwdbwd(W, H, steps):
             c = integrator.trace(sk, o, d, pk, cfg)
             return acc + jnp.mean(c), None
 
+        if spp > 1:
+            # sample-level remat: without it the scan stores every sample's
+            # bounce residuals (64 x ~2 GB at 1080p -> OOM); checkpointing
+            # keeps one sample's residuals live at a time. At spp=1 it would
+            # only add a 2x forward recompute — skip it.
+            body = jax.checkpoint(body)
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(spp))
         return acc / spp
 
     step = jax.jit(jax.value_and_grad(loss), static_argnums=2)
 
     # one 64-spp forward+backward step: proves the full-depth 1080p backward
-    # fits and executes on the chip (BASELINE "1080p @ 64spp")
+    # fits and executes on the chip (BASELINE "1080p @ 64spp"); warm up
+    # first so t64 is execution, not compile
     spp64 = 64
-    t0 = time.perf_counter()
     _, grads = step(params, key, spp64)
+    float(jax.tree.leaves(grads)[0].sum())
+    t0 = time.perf_counter()
+    _, grads = step(params, rng.fold(key, 0x64), spp64)
     float(jax.tree.leaves(grads)[0].sum())
     t64 = time.perf_counter() - t0
 

@@ -204,7 +204,8 @@ def _mega_kernel(
     sph_ref,  # (S_pad, 16) resident
     mat_ref,  # (8, 8) SMEM
     out_ref,  # (4, lanes) block out: rgb + spare
-    scr_ref,  # VMEM (40, lanes) f32 scratch: sweep accum (0-2) + attr gather (8-39)
+    scr_ref,  # VMEM (56, lanes) f32 scratch: sweep accum (0-2), attr
+    #           gather (8-39), path state o/d/rgb/active (40-49)
     *,
     tri_tile: int,
     sph_tile: int,
@@ -223,17 +224,18 @@ def _mega_kernel(
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     lanes = rays_ref.shape[1]
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
 
-    cr = jnp.ones((1, lanes), jnp.float32)
-    cg = jnp.ones((1, lanes), jnp.float32)
-    cb = jnp.ones((1, lanes), jnp.float32)
-    active = jnp.ones((1, lanes), jnp.bool_)
+    # path state lives in VMEM scratch rows 40-49 (o.xyz, d.xyz, rgb,
+    # active) so later bounces can be skipped wholesale via `pl.when` once
+    # every lane in the block has terminated — the lane-parallel analogue of
+    # the dense kernel's early exit / the reference's per-thread break
+    # (`path_tracer.cu:297-316`)
+    for c in range(6):
+        scr_ref[40 + c : 41 + c, :] = rays_ref[c : c + 1, :]
+    scr_ref[46:47, :] = jnp.ones((1, lanes), jnp.float32)  # r
+    scr_ref[47:48, :] = jnp.ones((1, lanes), jnp.float32)  # g
+    scr_ref[48:49, :] = jnp.ones((1, lanes), jnp.float32)  # b
+    scr_ref[49:50, :] = jnp.ones((1, lanes), jnp.float32)  # active
 
     n_tri_tiles = tri_ref.shape[0] // tri_tile
     n_sph_tiles = sph_ref.shape[0] // sph_tile
@@ -243,7 +245,17 @@ def _mega_kernel(
         return 1.0 / jnp.where(jnp.abs(c) < 1e-12,
                                jnp.where(c >= 0.0, 1e-12, -1e-12), c)
 
-    for bounce in range(max_depth):
+    def one_bounce(bounce):
+        ox = scr_ref[40:41, :]
+        oy = scr_ref[41:42, :]
+        oz = scr_ref[42:43, :]
+        dx = scr_ref[43:44, :]
+        dy = scr_ref[44:45, :]
+        dz = scr_ref[45:46, :]
+        cr = scr_ref[46:47, :]
+        cg = scr_ref[47:48, :]
+        cb = scr_ref[48:49, :]
+        active = scr_ref[49:50, :] > 0.5
         # ---- triangle closest-hit sweep: fori_loop over Morton-ordered ----
         # tiles, each guarded by a per-tile AABB slab test (`pl.when` skip).
         # This is the live integration of the tile-culling design: the
@@ -371,9 +383,10 @@ def _mega_kernel(
             @pl.when(jnp.max(in_tile) > 0.5)
             def _():
                 blk = tri_ref[pl.dslice(jt * tri_tile, tri_tile), :]
+                # int32 iota then cast: Mosaic's tpu.iota is integer-only
                 rows = jax.lax.broadcasted_iota(
-                    jnp.float32, (tri_tile, lanes), 0
-                )
+                    jnp.int32, (tri_tile, lanes), 0
+                ).astype(jnp.float32)
                 onehot = ((rows + base_f) == best_if).astype(jnp.float32)
                 scr_ref[8:40, :] = scr_ref[8:40, :] + jax.lax.dot_general(
                     blk, onehot, (((0,), (0,)), ((), ())),
@@ -468,22 +481,30 @@ def _mega_kernel(
             pdf_eps, sky_ref, hit,
         )
 
-        cr = cr * jnp.where(active, f_r, 1.0)
-        cg = cg * jnp.where(active, f_g, 1.0)
-        cb = cb * jnp.where(active, f_b, 1.0)
-
         next_active = active & hit & ~is_emissive
-        ox = jnp.where(next_active, px + shadow_eps * nx, ox)
-        oy = jnp.where(next_active, py + shadow_eps * ny, oy)
-        oz = jnp.where(next_active, pz + shadow_eps * nz, oz)
-        dx = jnp.where(next_active, wix, dx)
-        dy = jnp.where(next_active, wiy, dy)
-        dz = jnp.where(next_active, wiz, dz)
-        active = next_active
+        scr_ref[46:47, :] = cr * jnp.where(active, f_r, 1.0)
+        scr_ref[47:48, :] = cg * jnp.where(active, f_g, 1.0)
+        scr_ref[48:49, :] = cb * jnp.where(active, f_b, 1.0)
+        scr_ref[40:41, :] = jnp.where(next_active, px + shadow_eps * nx, ox)
+        scr_ref[41:42, :] = jnp.where(next_active, py + shadow_eps * ny, oy)
+        scr_ref[42:43, :] = jnp.where(next_active, pz + shadow_eps * nz, oz)
+        scr_ref[43:44, :] = jnp.where(next_active, wix, dx)
+        scr_ref[44:45, :] = jnp.where(next_active, wiy, dy)
+        scr_ref[45:46, :] = jnp.where(next_active, wiz, dz)
+        scr_ref[49:50, :] = next_active.astype(jnp.float32)
 
-    out_ref[0:1, :] = cr
-    out_ref[1:2, :] = cg
-    out_ref[2:3, :] = cb
+    # bounce 0 always runs; bounces 1+ are skipped once the whole block is
+    # terminated (sky/emissive) — identical results, a dead block's bounce
+    # body is a no-op (skipped hw-PRNG draws are only ever unused ones)
+    one_bounce(0)
+    for bounce in range(1, max_depth):
+        @pl.when(jnp.max(scr_ref[49:50, :]) > 0.5)
+        def _(b=bounce):
+            one_bounce(b)
+
+    out_ref[0:1, :] = scr_ref[46:47, :]
+    out_ref[1:2, :] = scr_ref[47:48, :]
+    out_ref[2:3, :] = scr_ref[48:49, :]
     out_ref[3:4, :] = jnp.zeros((1, lanes), jnp.float32)
 
 
@@ -942,7 +963,7 @@ def _mega_call(scalars, sky, seed, rays, urand, tris, boxes, sphs, mats,
         out_specs=pl.BlockSpec((4, lanes), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, r_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((40, lanes), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((56, lanes), jnp.float32)],
         interpret=interpret,
     )(scalars, sky, seed, rays, urand, tris, boxes, sphs, mats)
     return out

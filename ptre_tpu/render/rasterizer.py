@@ -156,6 +156,7 @@ def rasterize(
     soft: bool = False,
     sigma: float = 0.5,
     row_chunk: int = 0,
+    backend: str = "auto",
 ):
     """Rasterize a ScenePacket (built with spheres_as_triangles=True) → (H, W, 3).
 
@@ -164,11 +165,13 @@ def rasterize(
     ``row_chunk`` > 0 processes that many supersampled rows per `lax.map` step
     to bound the (samples × triangles) intermediate.
 
-    On TPU the hard path dispatches to the Pallas tile rasterizer
-    (`ops.pallas.raster_kernel`) — same image, ~3 orders of magnitude
-    faster; the XLA path remains the CPU/differentiable reference.
+    ``backend``: "auto" dispatches the hard path to the Pallas tile
+    rasterizer on TPU (`ops.pallas.raster_kernel` — same image, measured
+    ~35x faster at 720p, see scripts/bench_raster.py); "xla" forces the
+    reference/differentiable path; "pallas" forces the kernel.
     """
-    if not soft and jax.default_backend() in ("tpu", "axon"):
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if not soft and backend != "xla" and (on_tpu or backend == "pallas"):
         from ptre_tpu.ops.pallas import raster_kernel
 
         if raster_kernel.supports(config):
@@ -216,6 +219,9 @@ def rasterize(
     return img
 
 
-@functools.partial(jax.jit, static_argnames=("config", "soft", "sigma", "row_chunk"))
-def rasterize_jit(packet, cam, config, soft=False, sigma=0.5, row_chunk=0):
-    return rasterize(packet, cam, config, soft, sigma, row_chunk)
+@functools.partial(
+    jax.jit, static_argnames=("config", "soft", "sigma", "row_chunk", "backend")
+)
+def rasterize_jit(packet, cam, config, soft=False, sigma=0.5, row_chunk=0,
+                  backend="auto"):
+    return rasterize(packet, cam, config, soft, sigma, row_chunk, backend)

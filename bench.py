@@ -38,7 +38,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _bench_forward(W, H, spp, steps):
+def _tri_scene():
+    """BASELINE config 3: uv_sphere(128, 64) forced TRIANGLES (~16k tris) on
+    a sphere ground — the reference's known scaling cliff
+    (`path_tracer.cu:263-282`), routed to the culled lane-parallel kernel."""
+    from ptre_tpu.models import mesh as mg
+    from ptre_tpu.models.scene import Model, Scene
+
+    scn = Scene()
+    scn.add_mesh("ball", mg.uv_sphere(False, 128, 64,
+                                      mesh_type=mg.MeshType.TRIANGLES))
+    scn.add_mesh("ground", mg.uv_sphere(False, 16, 8))
+    scn.add_model("b", Model("ball"))
+    scn.get_model("b").set_transforms(1.0, 0.0, (0.0, 0.5, 0.0))
+    scn.add_model("g", Model("ground"))
+    scn.get_model("g").set_transforms(10.0, 0.0, (0.0, -10.0, 0.0))
+    return scn
+
+
+def _bench_forward(W, H, spp, steps, tri_scene=False):
     import jax
 
     from ptre_tpu.models import demo
@@ -46,7 +64,7 @@ def _bench_forward(W, H, spp, steps):
     from ptre_tpu.render import pathtracer as pt
     from ptre_tpu.utils.config import RenderConfig
 
-    scn = demo.reference_demo_scene(32, 16)
+    scn = _tri_scene() if tri_scene else demo.reference_demo_scene(32, 16)
     pkt = scn.build_packet()
     cam = cam_ops.Camera.create(width=W, height=H)
     cfg = RenderConfig(width=W, height=H)
@@ -148,13 +166,21 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--skip-bwd", action="store_true")
     p.add_argument("--skip-fwd", action="store_true")
+    p.add_argument("--tri-scene", action="store_true",
+                   help="bench BASELINE config 3 (~16k-tri scene) instead of "
+                        "the demo scene; implies --skip-bwd (the fused-sweep "
+                        "replay path needs the dense kernel, see "
+                        "scripts/bench_tri.py for the culling A/B)")
     args = p.parse_args(argv)
     W, H = args.width, args.height
+    if args.tri_scene:
+        args.skip_bwd = True
 
     extra = {}
     fwd = None
     if not args.skip_fwd:
-        fwd = _bench_forward(W, H, args.spp, args.steps)
+        fwd = _bench_forward(W, H, args.spp, args.steps,
+                             tri_scene=args.tri_scene)
     if not args.skip_bwd:
         fb, fb64 = _bench_fwdbwd(W, H, args.steps)
         extra["fwdbwd_mrays_per_s"] = round(fb, 2)
@@ -163,8 +189,9 @@ def main(argv=None):
         fwd = extra.get("fwdbwd_mrays_per_s", 0.0)
 
     baseline_mrays = 1280 * 720 * 10 * 5 / 1e6  # 46.08 (see module docstring)
+    tag = "_tri16k" if args.tri_scene else ""
     print(json.dumps({
-        "metric": f"pathtrace_{H}p_mrays_per_s",
+        "metric": f"pathtrace_{H}p{tag}_mrays_per_s",
         "value": round(fwd, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(fwd / baseline_mrays, 3),

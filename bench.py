@@ -123,12 +123,16 @@ def _bench_fwdbwd(W, H, steps):
             c = integrator.trace(sk, o, d, pk, cfg)
             return acc + jnp.mean(c), None
 
-        if spp > 1:
-            # sample-level remat: without it the scan stores every sample's
-            # bounce residuals (64 x ~2 GB at 1080p -> OOM); checkpointing
-            # keeps one sample's residuals live at a time. At spp=1 it would
-            # only add a 2x forward recompute — skip it.
-            body = jax.checkpoint(body)
+        if spp == 1:
+            # no scan for one sample: a length-1 grad-of-scan materializes
+            # every body intermediate as a while-loop residual (hard fusion
+            # boundary) — measured 1.7x slower than the direct call
+            acc, _ = body(jnp.float32(0.0), 0)
+            return acc
+        # sample-level remat: without it the scan stores every sample's
+        # bounce residuals (64 x ~2 GB at 1080p -> OOM); checkpointing
+        # keeps one sample's residuals live at a time.
+        body = jax.checkpoint(body)
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(spp))
         return acc / spp
 

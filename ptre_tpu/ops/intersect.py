@@ -232,7 +232,11 @@ def sphere_hit_attrs_t(o, d, center, radius, t_min):
     t_near = halfb - sq
     t = jnp.where(t_near >= t_min, t_near, halfb + sq)
     p = o + t[:, None] * d
-    n = (p - center) / radius[:, None]
+    # radius==0 rows occur when the unified replay table gathers a triangle
+    # row through the sphere-attr path (the result is where'd out, but an
+    # unguarded 1/0 would poison gradients through the select)
+    r_safe = jnp.where(radius > 0.0, radius, 1.0)
+    n = (p - center) / r_safe[:, None]
     front = jnp.einsum("rk,rk->r", d, n) < 0.0
     n = jnp.where(front[:, None], n, -n)
     return t, p, n, front

@@ -124,7 +124,58 @@ def _onehot_gather(idx, table):
     return oh @ table
 
 
-def replay(o, d, sel, urand, packet, config: RenderConfig):
+def _pack_rows(rows, lanes):
+    """(C, R) → (C, 8, L) lane-chunked planar blocks, zero-padded."""
+    C, R = rows.shape
+    block = 8 * lanes
+    pad = (-R) % block
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, pad)))
+    L = rows.shape[1] // 8
+    return rows.reshape(C, 8, L)
+
+
+def _replay_pallas(o, d, sel, urand, table, T, sky6, config: RenderConfig,
+                   interpret=False):
+    """Pallas-core replay: XLA does the one-hot MXU gathers (and therefore
+    the table-gradient transpose matmuls); the Pallas kernels fuse the whole
+    elementwise chain fwd+bwd (`ops.pallas.replay_kernel`)."""
+    from ptre_tpu.ops.pallas import replay_kernel as rk
+
+    R = o.shape[0]
+    P = table.shape[0]
+    B = config.max_depth
+    tableT = table.T  # (27, P)
+
+    g_rows = []
+    flag_rows = []
+    for b in range(B):
+        sel_b = sel[b]
+        i_tri = jax.lax.stop_gradient(sel_b[0].astype(jnp.int32))
+        i_sph = jax.lax.stop_gradient(sel_b[1].astype(jnp.int32))
+        use_sph = sel_b[2] > 0.5
+        idx = jnp.where(use_sph, T + i_sph, i_tri)
+        # transposed one-hot gather: (27, P) @ (P, R) — the winner rows land
+        # directly in the kernel's planar row layout, no (R, 27) transpose
+        ohT = (jnp.arange(P, dtype=jnp.int32)[:, None] == idx[None, :]
+               ).astype(jnp.float32)
+        g_rows.append(tableT @ ohT)  # (27, R)
+        flag_rows.append(sel_b[2])
+        flag_rows.append(sel_b[3])
+
+    lanes = rk._LANES
+    rays = _pack_rows(
+        jnp.concatenate([o.T, d.T, jnp.zeros((2, R), jnp.float32)]), lanes)
+    g = _pack_rows(jnp.concatenate(g_rows, axis=0), lanes)
+    flags = _pack_rows(jnp.stack(flag_rows), lanes)
+    ur = _pack_rows(urand.reshape(2 * B, R), lanes)
+
+    color = rk.replay_core(rays, g, flags, ur, sky6, config,
+                           interpret=interpret)
+    return color.reshape(3, -1)[:, :R].T
+
+
+def replay(o, d, sel, urand, packet, config: RenderConfig, backend="auto"):
     """Differentiable replay of recorded paths → linear color (R, 3).
 
     Args:
@@ -134,28 +185,45 @@ def replay(o, d, sel, urand, packet, config: RenderConfig):
       packet: ScenePacket (differentiable leaves: transforms, spheres,
         materials, sky).
       config: RenderConfig.
+
+    Both primitive classes live in ONE unified (T+S, 27) table —
+    [v0 v1 v2 n0 n1 n2 | center radius | kind albedo param] with zeros in
+    the other class's columns — so each bounce does a single one-hot MXU
+    gather (row = winner), and both attr paths are derived from that one
+    row and class-selected. Measured on the v5e this is 1.75x faster
+    fwd+bwd than two per-class gathers through a remat'd scan (69 ms vs
+    120 ms per 1080p bounce set, docs/artifacts/BWD_BREAKDOWN.json); the
+    bounce loop is unrolled (`lax.scan` unroll=max_depth) so XLA fuses
+    across bounces instead of round-tripping the carry through HBM.
     """
     v0, v1, v2, n0, n1, n2 = packet.world_triangles()
-    have_tris = v0.shape[0] > 0
-    have_sphs = packet.sph_center.shape[0] > 0
-    # per-primitive tables with material columns appended: ONE one-hot
-    # matmul per primitive class gathers geometry + material together
+    T = v0.shape[0]
+    S = packet.sph_center.shape[0]
     mat_cols = jnp.concatenate(
         [packet.mat_kind.astype(jnp.float32)[:, None], packet.mat_albedo,
          packet.mat_param[:, None]], axis=1,
     )  # (M, 5): kind, albedo.rgb, param
-    if have_tris:
-        tri_packed = jnp.concatenate(
-            [v0, v1, v2, n0, n1, n2, mat_cols[packet.tri_mat]], axis=1
-        )  # (T, 23)
-    if have_sphs:
-        sph_packed = jnp.concatenate(
-            [packet.sph_center, packet.sph_radius[:, None],
-             mat_cols[packet.sph_mat]], axis=1
-        )  # (S, 9)
+    tri_rows = jnp.concatenate(
+        [v0, v1, v2, n0, n1, n2, jnp.zeros((T, 4), jnp.float32),
+         mat_cols[packet.tri_mat]], axis=1,
+    )  # (T, 27)
+    sph_rows = jnp.concatenate(
+        [jnp.zeros((S, 18), jnp.float32), packet.sph_center,
+         packet.sph_radius[:, None], mat_cols[packet.sph_mat]], axis=1,
+    )  # (S, 27)
+    table = jnp.concatenate([tri_rows, sph_rows], axis=0)
 
     sky_b = jnp.asarray(packet.sky_bottom, jnp.float32)
     sky_t = jnp.asarray(packet.sky_top, jnp.float32)
+
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                   else "xla")
+    if backend in ("pallas", "pallas-interpret"):
+        sky6 = jnp.concatenate([sky_b, sky_t])
+        return _replay_pallas(o, d, sel, urand, table, T, sky6, config,
+                              interpret=(backend == "pallas-interpret"))
+
     urand = urand.reshape(config.max_depth, 2, -1)
 
     def bounce(carry, inputs):
@@ -166,34 +234,24 @@ def replay(o, d, sel, urand, packet, config: RenderConfig):
         use_sph = sel_b[2] > 0.5
         hit = sel_b[3] > 0.5
 
-        R = o.shape[0]
-        p = jnp.zeros((R, 3), jnp.float32)
-        n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (R, 3))
-        matc = jnp.zeros((R, 5), jnp.float32)
-        if have_tris:
-            gt = _onehot_gather(i_tri, tri_packed)
-            _, p_tri, n_tri, _ = triangle_hit_attrs_t(
-                o, d, gt[:, 0:3], gt[:, 3:6], gt[:, 6:9],
-                gt[:, 9:12], gt[:, 12:15], gt[:, 15:18],
-            )
-            p, n = p_tri, n_tri
-            matc = gt[:, 18:23]
-        if have_sphs:
-            gs = _onehot_gather(i_sph, sph_packed)
-            _, p_sph, n_sph, _ = sphere_hit_attrs_t(
-                o, d, gs[:, 0:3], gs[:, 3], config.t_min
-            )
-            if have_tris:
-                p = jnp.where(use_sph[:, None], p_sph, p)
-                n = jnp.where(use_sph[:, None], n_sph, n)
-                matc = jnp.where(use_sph[:, None], gs[:, 4:9], matc)
-            else:
-                p, n = p_sph, n_sph
-                matc = gs[:, 4:9]
+        idx = jnp.where(use_sph, T + i_sph, i_tri)
+        g = _onehot_gather(idx, table)
+        # both attr paths from the single gathered row; the other class's
+        # columns are zero (guarded: det==0 in the MT recompute, radius==0
+        # in the sphere recompute) and the results class-selected
+        _, p_tri, n_tri, _ = triangle_hit_attrs_t(
+            o, d, g[:, 0:3], g[:, 3:6], g[:, 6:9],
+            g[:, 9:12], g[:, 12:15], g[:, 15:18],
+        )
+        _, p_sph, n_sph, _ = sphere_hit_attrs_t(
+            o, d, g[:, 18:21], g[:, 21], config.t_min
+        )
+        p = jnp.where(use_sph[:, None], p_sph, p_tri)
+        n = jnp.where(use_sph[:, None], n_sph, n_tri)
 
-        kind = matc[:, 0]
-        albedo = matc[:, 1:4]
-        param = matc[:, 4]
+        kind = g[:, 22]
+        albedo = g[:, 23:26]
+        param = g[:, 26]
         is_emissive = kind > 0.5
 
         wi, pdf, cosw = _scatter_from_uniforms(n, d, u_b[0], u_b[1],
@@ -216,12 +274,14 @@ def replay(o, d, sel, urand, packet, config: RenderConfig):
         d = jnp.where(next_active[:, None], wi, d)
         return (o, d, color, next_active), None
 
-    if config.remat_bounces:
+    if config.remat_replay:
         bounce = jax.checkpoint(bounce)
 
     R = o.shape[0]
     init = (o, d, jnp.ones((R, 3), jnp.float32), jnp.ones((R,), bool))
-    (_, _, color, _), _ = jax.lax.scan(bounce, init, (sel, urand))
+    (_, _, color, _), _ = jax.lax.scan(
+        bounce, init, (sel, urand), unroll=config.max_depth
+    )
     return color
 
 

@@ -189,15 +189,23 @@ def shard_train_step(
             img = _sample_rows(rng.fold(lkey, s), pkt, lcam, config, y0, rows)
             return acc + img.reshape(rows, cam.width, 3), None
 
-        if config.remat_bounces:
-            # sample-level remat: keep ONE sample's backward residuals live
-            # at a time (the scan would otherwise store local_spp of them —
-            # OOM at 1080p x 64spp on a 16 GB chip)
-            body = jax.checkpoint(body)
+        if local_spp == 1:
+            # no scan for a single sample: a length-1 grad-of-scan still
+            # materializes every body intermediate as a while-loop residual
+            # (hard fusion boundary), measured 1.7x slower than the direct
+            # call at 1080p (docs/PERF.md round-2 backward notes)
+            acc, _ = body(jnp.zeros((rows, cam.width, 3), jnp.float32), 0)
+        else:
+            if config.remat_bounces:
+                # sample-level remat: keep ONE sample's backward residuals
+                # live at a time (the scan would otherwise store local_spp of
+                # them — OOM at 1080p x 64spp on a 16 GB chip)
+                body = jax.checkpoint(body)
 
-        acc, _ = jax.lax.scan(
-            body, jnp.zeros((rows, cam.width, 3), jnp.float32), jnp.arange(local_spp)
-        )
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((rows, cam.width, 3), jnp.float32),
+                jnp.arange(local_spp)
+            )
         img = jax.lax.pmean(acc / local_spp, "sp")
         # per-dp-shard MSE; the global image MSE is the dp-mean of these
         return jnp.mean((img - target_rows) ** 2)

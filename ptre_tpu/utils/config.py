@@ -59,6 +59,13 @@ class RenderConfig:
     #: bounce recomputes on the way back (the SURVEY §7 "re-intersect instead
     #: of storing hits" design). Identical values either way.
     remat_bounces: bool = True
+    #: rematerialize the bounce body in the REPLAY backward (`ops.path_replay`).
+    #: Off by default: the replay's residuals are O(R) per bounce (~40 MB per
+    #: 1080p bounce), small enough to store, and measured on the v5e the
+    #: unrolled no-remat replay is 1.45x faster fwd+bwd than the remat'd scan
+    #: (83 ms vs 120 ms at 1080p; docs/PERF.md). The 64-spp sample scan keeps
+    #: its own `jax.checkpoint` at the sample level regardless.
+    remat_replay: bool = False
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:

@@ -991,7 +991,8 @@ def _build_urand(key, R, max_depth):
     return jnp.stack(rows)
 
 
-def trace_fused_sel(key, o, d, packet, config, interpret=False):
+def trace_fused_sel(key, o, d, packet, config, interpret=False,
+                    planar=False):
     """Trace one sample per ray, recording per-bounce primitive selections.
 
     The forward half of the fused-sweep gradient path: runs the dense
@@ -1003,6 +1004,12 @@ def trace_fused_sel(key, o, d, packet, config, interpret=False):
 
     for `ops.path_replay.replay` to rebuild the path differentiably.
     Requires `dense_supported(packet)`.
+
+    With ``planar=True`` the kernel-native lane-chunked layout is returned
+    unreshaped — sel (4*max_depth, 8, L), urand (2*max_depth, 8, L) with
+    8*L >= R zero-padded — saving two full relayouts of the selection data
+    (the planar Pallas replay consumes exactly this layout; see
+    `path_replay._replay_pallas`).
     """
     assert dense_supported(packet), "fused selection needs the dense kernel"
     v0, v1, v2, n0, n1, n2 = packet.world_triangles()
@@ -1048,6 +1055,8 @@ def trace_fused_sel(key, o, d, packet, config, interpret=False):
         max_depth=config.max_depth, num_mats=packet.num_materials,
         external_rng=True, record_sel=True, interpret=interpret,
     )
+    if planar:
+        return sel, urand
     sel = sel.reshape(4 * config.max_depth, _DENSE_SUB * L)[:, :R]
     sel = sel.reshape(config.max_depth, 4, R)
     return sel, urand_flat

@@ -175,6 +175,77 @@ def _replay_pallas(o, d, sel, urand, table, T, sky6, config: RenderConfig,
     return color.reshape(3, -1)[:, :R].T
 
 
+def _build_table(packet):
+    """Unified (T+S, 27) primitive table — [v0 v1 v2 n0 n1 n2 | center r |
+    kind albedo param], zeros in the other class's columns. Returns
+    (table, T, sky6); all leaves differentiable."""
+    v0, v1, v2, n0, n1, n2 = packet.world_triangles()
+    T = v0.shape[0]
+    S = packet.sph_center.shape[0]
+    mat_cols = jnp.concatenate(
+        [packet.mat_kind.astype(jnp.float32)[:, None], packet.mat_albedo,
+         packet.mat_param[:, None]], axis=1,
+    )  # (M, 5): kind, albedo.rgb, param
+    tri_rows = jnp.concatenate(
+        [v0, v1, v2, n0, n1, n2, jnp.zeros((T, 4), jnp.float32),
+         mat_cols[packet.tri_mat]], axis=1,
+    )  # (T, 27)
+    sph_rows = jnp.concatenate(
+        [jnp.zeros((S, 18), jnp.float32), packet.sph_center,
+         packet.sph_radius[:, None], mat_cols[packet.sph_mat]], axis=1,
+    )  # (S, 27)
+    table = jnp.concatenate([tri_rows, sph_rows], axis=0)
+    sky6 = jnp.concatenate([
+        jnp.asarray(packet.sky_bottom, jnp.float32),
+        jnp.asarray(packet.sky_top, jnp.float32)])
+    return table, T, sky6
+
+
+def _replay_pallas_planar(o, d, sel_p, urand_p, table, T, sky6,
+                          config: RenderConfig, interpret=False):
+    """Planar-native Pallas replay: sel/urand stay in the fused kernel's
+    (rows, 8, L) lane-chunked layout end-to-end, so the only XLA work per
+    bounce is the one-hot winner-row `dot_general` — no (R,)-major
+    relayouts of the selection/uniform data at all (measured: the relayouts
+    were ~2/3 of the replay forward, docs/PERF.md)."""
+    from ptre_tpu.ops.pallas import replay_kernel as rk
+
+    R = o.shape[0]
+    P = table.shape[0]
+    B = config.max_depth
+    tableT = table.T  # (27, P)
+    iota_p = jnp.arange(P, dtype=jnp.int32)[:, None, None]
+
+    g_list = []
+    flag_rows = []
+    for b in range(B):
+        i_tri = jax.lax.stop_gradient(sel_p[4 * b + 0].astype(jnp.int32))
+        i_sph = jax.lax.stop_gradient(sel_p[4 * b + 1].astype(jnp.int32))
+        use_sph = sel_p[4 * b + 2] > 0.5
+        idx = jnp.where(use_sph, T + i_sph, i_tri)  # (8, L)
+        ohT = (iota_p == idx[None]).astype(jnp.float32)  # (P, 8, L)
+        # contract P, keep (8, L) free: winner rows land planar directly
+        g_list.append(jax.lax.dot_general(
+            tableT, ohT, (((1,), (0,)), ((), ()))))  # (27, 8, L)
+        flag_rows.append(sel_p[4 * b + 2])
+        flag_rows.append(sel_p[4 * b + 3])
+
+    # rays must use the SEL kernel's planar mapping r = sublane*L + lane —
+    # pad to its exact 8*L total before the (8, L) split
+    Ls = sel_p.shape[2]
+    lanes = rk._LANES if Ls % rk._LANES == 0 else 128
+    assert Ls % lanes == 0, (Ls, lanes)
+    rows = jnp.concatenate([o.T, d.T, jnp.zeros((2, R), jnp.float32)])
+    rows = jnp.pad(rows, ((0, 0), (0, 8 * Ls - R)))
+    rays = rows.reshape(8, 8, Ls)
+    g = jnp.concatenate(g_list, axis=0)
+    flags = jnp.stack(flag_rows)
+
+    color = rk.replay_core(rays, g, flags, urand_p, sky6, config,
+                           interpret=interpret, lanes=lanes)
+    return color.reshape(3, -1)[:, :R].T
+
+
 def replay(o, d, sel, urand, packet, config: RenderConfig, backend="auto"):
     """Differentiable replay of recorded paths → linear color (R, 3).
 
@@ -196,31 +267,13 @@ def replay(o, d, sel, urand, packet, config: RenderConfig, backend="auto"):
     bounce loop is unrolled (`lax.scan` unroll=max_depth) so XLA fuses
     across bounces instead of round-tripping the carry through HBM.
     """
-    v0, v1, v2, n0, n1, n2 = packet.world_triangles()
-    T = v0.shape[0]
-    S = packet.sph_center.shape[0]
-    mat_cols = jnp.concatenate(
-        [packet.mat_kind.astype(jnp.float32)[:, None], packet.mat_albedo,
-         packet.mat_param[:, None]], axis=1,
-    )  # (M, 5): kind, albedo.rgb, param
-    tri_rows = jnp.concatenate(
-        [v0, v1, v2, n0, n1, n2, jnp.zeros((T, 4), jnp.float32),
-         mat_cols[packet.tri_mat]], axis=1,
-    )  # (T, 27)
-    sph_rows = jnp.concatenate(
-        [jnp.zeros((S, 18), jnp.float32), packet.sph_center,
-         packet.sph_radius[:, None], mat_cols[packet.sph_mat]], axis=1,
-    )  # (S, 27)
-    table = jnp.concatenate([tri_rows, sph_rows], axis=0)
-
-    sky_b = jnp.asarray(packet.sky_bottom, jnp.float32)
-    sky_t = jnp.asarray(packet.sky_top, jnp.float32)
+    table, T, sky6 = _build_table(packet)
+    sky_b, sky_t = sky6[:3], sky6[3:]
 
     if backend == "auto":
         backend = ("pallas" if jax.default_backend() in ("tpu", "axon")
                    else "xla")
     if backend in ("pallas", "pallas-interpret"):
-        sky6 = jnp.concatenate([sky_b, sky_t])
         return _replay_pallas(o, d, sel, urand, table, T, sky6, config,
                               interpret=(backend == "pallas-interpret"))
 
@@ -300,6 +353,17 @@ def trace_fused_grad(key, o, d, packet, config: RenderConfig,
     if interpret is None:  # Pallas interpret mode off-TPU (CPU tests)
         interpret = jax.default_backend() not in ("tpu", "axon")
     sg = jax.lax.stop_gradient
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu and not interpret:
+        # planar fast path: selections/uniforms stay in the kernel's
+        # (rows, 8, L) layout straight into the Pallas replay core
+        sel_p, urand_p = megakernel.trace_fused_sel(
+            key, sg(o), sg(d), jax.tree.map(sg, packet), config,
+            interpret=False, planar=True,
+        )
+        table, T, sky6 = _build_table(packet)
+        return _replay_pallas_planar(o, d, sel_p, urand_p, table, T, sky6,
+                                     config)
     sel, urand = megakernel.trace_fused_sel(
         key, sg(o), sg(d), jax.tree.map(sg, packet), config,
         interpret=interpret,

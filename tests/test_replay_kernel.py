@@ -60,6 +60,37 @@ def test_pallas_replay_grads_match_xla():
             rtol=5e-4, atol=5e-6, err_msg=k)
 
 
+def test_planar_fast_path_matches_xla():
+    """Planar sel/urand (kernel-native layout) through the Pallas core ==
+    the XLA replay, values and parameter gradients."""
+    pkt, cam, o, d, sel, urand, cfg = _setup()
+    key = rng.key_for(1984)
+    sel_p, urand_p = mk.trace_fused_sel(key, o, d, pkt, cfg, interpret=True,
+                                        planar=True)
+    params = sh.differentiable_params(pkt, cam)
+
+    def loss_planar(par):
+        pk, _ = sh._apply_params(par, pkt, cam)
+        table, T, sky6 = path_replay._build_table(pk)
+        c = path_replay._replay_pallas_planar(
+            o, d, sel_p, urand_p, table, T, sky6, cfg, interpret=True)
+        return jnp.sum(c * jnp.cos(jnp.arange(c.size).reshape(c.shape))), c
+
+    def loss_xla(par):
+        pk, _ = sh._apply_params(par, pkt, cam)
+        c = path_replay.replay(o, d, sel, urand, pk, cfg, backend="xla")
+        return jnp.sum(c * jnp.cos(jnp.arange(c.size).reshape(c.shape))), c
+
+    (l_p, c_p), g_p = jax.value_and_grad(loss_planar, has_aux=True)(params)
+    (l_x, c_x), g_x = jax.value_and_grad(loss_xla, has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_x),
+                               rtol=2e-5, atol=2e-6)
+    for k in g_x:
+        np.testing.assert_allclose(
+            np.asarray(g_p[k]), np.asarray(g_x[k]),
+            rtol=5e-4, atol=5e-6, err_msg=k)
+
+
 def test_pallas_replay_ray_grads_match_xla():
     pkt, _, o, d, sel, urand, cfg = _setup()
 

@@ -155,7 +155,12 @@ def _chain(o, d, g, flags, urand, sky, *, max_depth, t_min, shadow_eps,
         vx = -nz * ay
         vy = nz * ax
         vz = nx * ay - ny * ax
-        vlen = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+        # double-where sqrt guard (as `sq` below): d(sqrt)/dx at 0 is inf and
+        # the in-kernel vjp would turn a zero cotangent into NaN (0*inf) on
+        # padded/degenerate lanes
+        vlen_sq = vx * vx + vy * vy + vz * vz
+        vlen = jnp.sqrt(jnp.where(vlen_sq > 0.0, vlen_sq, 1.0)) * (
+            vlen_sq > 0.0)
         vinv = 1.0 / jnp.where(vlen > 0.0, vlen, 1.0)
         vx, vy, vz = vx * vinv, vy * vinv, vz * vinv
         ux = vy * nz - vz * ny
@@ -180,8 +185,10 @@ def _chain(o, d, g, flags, urand, sky, *, max_depth, t_min, shadow_eps,
         A = 1.0 - 0.5 * s2 / (s2 + 0.33)
         B_ = 0.45 * s2 / (s2 + 0.09)
         wox, woy = -dx, -dy
-        li = jnp.sqrt(wix * wix + wiy * wiy)
-        lo = jnp.sqrt(wox * wox + woy * woy)
+        li_sq = wix * wix + wiy * wiy
+        li = jnp.sqrt(jnp.where(li_sq > 0.0, li_sq, 1.0)) * (li_sq > 0.0)
+        lo_sq = wox * wox + woy * woy
+        lo = jnp.sqrt(jnp.where(lo_sq > 0.0, lo_sq, 1.0)) * (lo_sq > 0.0)
         ci = jnp.where(li > 1e-12, wix / jnp.where(li > 0, li, 1.0), 1.0)
         si = jnp.where(li > 1e-12, wiy / jnp.where(li > 0, li, 1.0), 0.0)
         co = jnp.where(lo > 1e-12, wox / jnp.where(lo > 0, lo, 1.0), 1.0)
@@ -191,9 +198,12 @@ def _chain(o, d, g, flags, urand, sky, *, max_depth, t_min, shadow_eps,
         cos_ti = jnp.clip(cosw, 0.0, 1.0)
         cos_a = jnp.minimum(cos_ti, cos_to)
         cos_b = jnp.maximum(cos_ti, cos_to)
-        sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
-        tan_b = jnp.sqrt(jnp.maximum(1.0 - cos_b * cos_b, 0.0)) / jnp.maximum(
-            cos_b, 1e-6)
+        sin_a_sq = jnp.maximum(1.0 - cos_a * cos_a, 0.0)
+        sin_a = jnp.sqrt(jnp.where(sin_a_sq > 0.0, sin_a_sq, 1.0)) * (
+            sin_a_sq > 0.0)
+        tan_b_sq = jnp.maximum(1.0 - cos_b * cos_b, 0.0)
+        tan_b = jnp.sqrt(jnp.where(tan_b_sq > 0.0, tan_b_sq, 1.0)) * (
+            tan_b_sq > 0.0) / jnp.maximum(cos_b, 1e-6)
         coeff = (A + B_ * cos_dphi * sin_a * tan_b) * jnp.float32(1.0 / _PI)
 
         att_r = jnp.where(is_emissive, param * alb_r, alb_r * coeff)

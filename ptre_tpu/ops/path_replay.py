@@ -63,7 +63,10 @@ def _scatter_from_uniforms(n, d, u1, u2, pdf_eps):
     vx = -nz * ay
     vy = nz * ax
     vz = nx * ay - ny * ax
-    vlen = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    # double-where sqrt guards here and below: d(sqrt)/dx at 0 is inf, and
+    # reverse-mode turns zero cotangents into NaN (0*inf) on degenerate lanes
+    vlen_sq = vx * vx + vy * vy + vz * vz
+    vlen = jnp.sqrt(jnp.where(vlen_sq > 0.0, vlen_sq, 1.0)) * (vlen_sq > 0.0)
     vinv = 1.0 / jnp.where(vlen > 0.0, vlen, 1.0)
     vx, vy, vz = vx * vinv, vy * vinv, vz * vinv
     ux = vy * nz - vz * ny
@@ -93,8 +96,10 @@ def _oren_nayar_coeff(n, d, wi, cosw, sigma):
     A = 1.0 - 0.5 * s2 / (s2 + 0.33)
     B = 0.45 * s2 / (s2 + 0.09)
     wo = -d
-    li = jnp.sqrt(wi[:, 0] ** 2 + wi[:, 1] ** 2)
-    lo = jnp.sqrt(wo[:, 0] ** 2 + wo[:, 1] ** 2)
+    li_sq = wi[:, 0] ** 2 + wi[:, 1] ** 2
+    li = jnp.sqrt(jnp.where(li_sq > 0.0, li_sq, 1.0)) * (li_sq > 0.0)
+    lo_sq = wo[:, 0] ** 2 + wo[:, 1] ** 2
+    lo = jnp.sqrt(jnp.where(lo_sq > 0.0, lo_sq, 1.0)) * (lo_sq > 0.0)
     ci = jnp.where(li > 1e-12, wi[:, 0] / jnp.where(li > 0, li, 1.0), 1.0)
     si = jnp.where(li > 1e-12, wi[:, 1] / jnp.where(li > 0, li, 1.0), 0.0)
     co = jnp.where(lo > 1e-12, wo[:, 0] / jnp.where(lo > 0, lo, 1.0), 1.0)
@@ -104,10 +109,12 @@ def _oren_nayar_coeff(n, d, wi, cosw, sigma):
     cos_ti = jnp.clip(cosw, 0.0, 1.0)
     cos_a = jnp.minimum(cos_ti, cos_to)
     cos_b = jnp.maximum(cos_ti, cos_to)
-    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
-    tan_b = jnp.sqrt(jnp.maximum(1.0 - cos_b * cos_b, 0.0)) / jnp.maximum(
-        cos_b, 1e-6
-    )
+    sin_a_sq = jnp.maximum(1.0 - cos_a * cos_a, 0.0)
+    sin_a = jnp.sqrt(jnp.where(sin_a_sq > 0.0, sin_a_sq, 1.0)) * (
+        sin_a_sq > 0.0)
+    tan_b_sq = jnp.maximum(1.0 - cos_b * cos_b, 0.0)
+    tan_b = jnp.sqrt(jnp.where(tan_b_sq > 0.0, tan_b_sq, 1.0)) * (
+        tan_b_sq > 0.0) / jnp.maximum(cos_b, 1e-6)
     return (A + B * cos_dphi * sin_a * tan_b) * jnp.float32(1.0 / _PI)
 
 
@@ -216,6 +223,17 @@ def _replay_pallas_planar(o, d, sel_p, urand_p, table, T, sky6,
     tableT = table.T  # (27, P)
     iota_p = jnp.arange(P, dtype=jnp.int32)[:, None, None]
 
+    # Padded lanes (planar index sub*L + lane >= R) carry sel=0, which would
+    # alias them onto primitive 0: their (possibly non-finite) replay
+    # cotangents would be transpose-scattered into REAL table rows. Mask them
+    # out of the one-hot (→ zero g rows, zero table-grad columns) and kill
+    # their flags so they take the inert sky branch.
+    Lp = sel_p.shape[2]
+    lane_id = (jnp.arange(8, dtype=jnp.int32)[:, None] * Lp
+               + jnp.arange(Lp, dtype=jnp.int32)[None, :])  # (8, L)
+    valid = lane_id < R
+    validf = valid.astype(jnp.float32)
+
     g_list = []
     flag_rows = []
     for b in range(B):
@@ -223,12 +241,12 @@ def _replay_pallas_planar(o, d, sel_p, urand_p, table, T, sky6,
         i_sph = jax.lax.stop_gradient(sel_p[4 * b + 1].astype(jnp.int32))
         use_sph = sel_p[4 * b + 2] > 0.5
         idx = jnp.where(use_sph, T + i_sph, i_tri)  # (8, L)
-        ohT = (iota_p == idx[None]).astype(jnp.float32)  # (P, 8, L)
+        ohT = ((iota_p == idx[None]) & valid[None]).astype(jnp.float32)
         # contract P, keep (8, L) free: winner rows land planar directly
         g_list.append(jax.lax.dot_general(
             tableT, ohT, (((1,), (0,)), ((), ()))))  # (27, 8, L)
-        flag_rows.append(sel_p[4 * b + 2])
-        flag_rows.append(sel_p[4 * b + 3])
+        flag_rows.append(sel_p[4 * b + 2] * validf)
+        flag_rows.append(sel_p[4 * b + 3] * validf)
 
     # rays must use the SEL kernel's planar mapping r = sublane*L + lane —
     # pad to its exact 8*L total before the (8, L) split

@@ -46,19 +46,31 @@ def _select_sweep(config: RenderConfig):
     return None  # ops.intersect.sweep default
 
 
-def _use_fused_sweep(config: RenderConfig, packet) -> bool:
-    """Route differentiable traces through the fused-selection kernel +
-    XLA replay (`ops.path_replay`) when applicable."""
-    if config.grad_sweep == "staged":
-        return False
+def _grad_route(config: RenderConfig, packet) -> str:
+    """Route differentiable traces:
+
+    * "fused"  — fully-fused custom-VJP path (`ops.pallas.fused_grad`):
+      recording megakernel forward + single-kernel backward. The production
+      TPU route for every scene the megakernel `supports()` (dense serial
+      sweep for demo-class scenes, culled lane-parallel for triangle scenes).
+    * "replay" — round-2 planar replay (`ops.path_replay.trace_fused_grad`),
+      kept for A/B validation; dense scenes only.
+    * "staged" — per-bounce XLA sweep + autodiff; always available.
+    """
     from ptre_tpu.ops.pallas import megakernel
 
-    if config.grad_sweep == "fused":
-        return megakernel.dense_supported(packet)
-    return (
-        jax.default_backend() in ("tpu", "axon")
-        and megakernel.dense_supported(packet)
-    )
+    mode = config.grad_sweep
+    if mode == "staged":
+        return "staged"
+    if mode == "replay":
+        return "replay" if megakernel.dense_supported(packet) else "staged"
+    if mode == "fused":
+        return "fused" if megakernel.supports(packet) else "staged"
+    # auto: fused on TPU whenever the megakernel takes the scene
+    if (jax.default_backend() in ("tpu", "axon")
+            and megakernel.supports(packet)):
+        return "fused"
+    return "staged"
 
 
 def trace(key, origins, directions, packet, config: RenderConfig):
@@ -70,7 +82,12 @@ def trace(key, origins, directions, packet, config: RenderConfig):
       packet: ScenePacket.
       config: RenderConfig (max_depth, t range, sky, epsilons).
     """
-    if _use_fused_sweep(config, packet):
+    route = _grad_route(config, packet)
+    if route == "fused":
+        from ptre_tpu.ops.pallas import fused_grad
+
+        return fused_grad.trace_grad(key, origins, directions, packet, config)
+    if route == "replay":
         from ptre_tpu.ops import path_replay
 
         return path_replay.trace_fused_grad(

@@ -1,0 +1,342 @@
+"""Fully-fused forward+backward path gradients: one kernel each way.
+
+Round-2's planar replay still paid an O(R*P) XLA toll per step: each bounce
+materialized a (P, 8, L) one-hot in HBM, matmul'd it against the table to
+build the (27*B, 8, L) winner rows `g`, ran the Pallas replay chain, and
+transpose-matmul'd the cotangents back — ~6 GB/step of pure glue traffic at
+1080p, and unscalable to triangle scenes (a 16k-row one-hot at 2M rays is
+17 GB). This module deletes the glue:
+
+  * **forward** = the fused megakernel itself (dense serial-sweep variant for
+    reference-demo scenes, culled lane-parallel variant for triangle scenes
+    up to 32k Morton-ordered triangles), recording only the per-bounce winner
+    SELECTIONS (4 rows/bounce) — the color comes straight off the chip;
+  * **backward** = ONE Pallas kernel: per ray block it re-GATHERS the winner
+    rows from the VMEM-resident unified (P, 27) table with per-sublane
+    one-hot MXU matmuls (per-tile `pl.when` skip — only tiles that contain
+    some lane's winner are touched), recomputes the replay chain and
+    reverses it in-register (`jax.vjp` inside the kernel body — in-kernel
+    rematerialization), then transpose-SCATTERS the dg cotangents into a
+    VMEM table-gradient accumulator with the same tiled one-hot matmuls.
+    `g`/`dg` never touch HBM; the table gradient leaves the chip once,
+    accumulated over the whole sequential grid.
+
+Gradient semantics are identical to `ops.path_replay` (detached visibility:
+selections are constants, gradients flow through the re-derived hit
+geometry, materials, sky and camera rays); the chain is
+`ops.pallas.replay_kernel._chain`, shared verbatim, so values and gradients
+match the XLA replay to float tolerance (`tests/test_fused_grad.py`).
+
+Reference parity contract as in `ops.path_replay` (`material.cu:5-62`,
+`shape.cu:13-103`, `onb.h:7-21`, `random.cu:96-107`, sky at
+`path_tracer.cu:307-316`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ptre_tpu.ops.pallas import megakernel as mk
+from ptre_tpu.ops.pallas import replay_kernel as rk
+
+#: table tile width (lanes) for the gather/scatter one-hot matmuls; the
+#: per-(tile, bounce) skip granularity
+_TAB_TILE = 128
+#: ray lanes per backward block (VMEM headroom for the in-kernel vjp with
+#: the resident table + gradient accumulator)
+_BWD_LANES = 128
+
+_G_PAD = 32  # 27 g rows padded to the f32 sublane tile
+
+
+def _pack_table3(table, tile=_TAB_TILE):
+    """(P, 27) unified table → (n_tiles, 32, tile) transposed-tiled VMEM
+    layout: table3[jt, c, j] = table[jt*tile + j, c]. The transpose keeps
+    the long primitive axis on lanes (a (16k, 32) layout would pad 32 → 128
+    lanes and waste 4x VMEM)."""
+    P, C = table.shape
+    tT = jnp.pad(table.T, ((0, _G_PAD - C), (0, (-P) % tile)))
+    n_tiles = tT.shape[1] // tile
+    return tT.reshape(_G_PAD, n_tiles, tile).transpose(1, 0, 2)
+
+
+def _unpack_dtable3(dtab3, P, C=27):
+    """Inverse of `_pack_table3` for the gradient accumulator."""
+    n_tiles, _, tile = dtab3.shape
+    tT = dtab3.transpose(1, 0, 2).reshape(_G_PAD, n_tiles * tile)
+    return tT[:C, :P].T
+
+
+def _pack_rays_planar(o, d, Ltot):
+    """(R, 3) o/d → (8, 8, Ltot) planar rays (r = sublane*Ltot + lane)."""
+    R = o.shape[0]
+    rows = jnp.concatenate([o.T, d.T, jnp.zeros((2, R), jnp.float32)])
+    rows = jnp.pad(rows, ((0, 0), (0, 8 * Ltot - R)))
+    return rows.reshape(8, 8, Ltot)
+
+
+def _fused_bwd_kernel(
+    sky_ref,  # SMEM f32 (8,): sky_bottom.rgb, sky_top.rgb, pad
+    tab_ref,  # VMEM (n_tiles, 32, tile) resident: _pack_table3 layout
+    rays_ref,  # (8, 8, L) block: o.xyz d.xyz pad pad, planar
+    sel_ref,  # (4B, 8, L) block: tri idx, sph idx, use_sph, hit per bounce
+    ur_ref,  # (2B, 8, L) block: scatter uniforms
+    dcol_ref,  # (4, 8, L) block: color cotangent (row 3 pad)
+    drays_ref,  # (8, 8, L) block out
+    dtab_ref,  # VMEM (n_tiles, 32, tile) out, accumulated across the grid
+    dsky_ref,  # (8, 8, L) out, accumulated across the grid
+    g_scr,  # VMEM (B*8, 32, L) scratch: per-(bounce, sublane) g/dg rows
+    *,
+    max_depth: int,
+    t_min: float,
+    shadow_eps: float,
+    pdf_eps: float,
+    tri_rows: int,  # sphere-row offset in the unified table
+    n_rays: int,  # true ray count (valid-lane mask)
+    l_total: int,  # planar L of the whole batch
+):
+    i = pl.program_id(0)
+    B = max_depth
+
+    @pl.when(i == 0)
+    def _():
+        dtab_ref[...] = jnp.zeros_like(dtab_ref)
+        dsky_ref[...] = jnp.zeros_like(dsky_ref)
+
+    L = rays_ref.shape[2]
+    n_tiles = tab_ref.shape[0]
+    tile = tab_ref.shape[2]
+    shape = (8, L)
+
+    o = [rays_ref[c] for c in range(3)]
+    d = [rays_ref[c + 3] for c in range(3)]
+
+    # valid-lane mask: planar ray id = sublane*l_total + block offset + lane
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    valid = (sub_i * l_total + i * L + lane_i) < n_rays
+    validf = valid.astype(jnp.float32)
+
+    # per-bounce unified winner index; dead/padded lanes get -1 (matches no
+    # tile row, so they neither gather nor scatter — the round-2 padded-lane
+    # NaN-poisoning class is structurally impossible here)
+    idxs, flags, urand = [], [], []
+    for b in range(B):
+        use_sph = sel_ref[4 * b + 2] > 0.5
+        hitf = sel_ref[4 * b + 3] * validf
+        idx = jnp.where(use_sph, jnp.float32(tri_rows) + sel_ref[4 * b + 1],
+                        sel_ref[4 * b + 0])
+        idxs.append(jnp.where(hitf > 0.5, idx, -1.0))
+        flags.append((sel_ref[4 * b + 2], hitf))
+        urand.append((ur_ref[2 * b], ur_ref[2 * b + 1]))
+
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (tile, L), 0).astype(
+        jnp.float32)
+
+    # ---- gather winner rows g from the resident table ---------------------
+    g_scr[...] = jnp.zeros_like(g_scr)
+
+    def gather_body(jt, c):
+        basef = (jt * tile).astype(jnp.float32)
+        blk = tab_ref[jt]  # (32, tile)
+        for b in range(B):
+            in_t = (idxs[b] >= basef) & (idxs[b] < basef + tile)
+
+            @pl.when(jnp.max(in_t.astype(jnp.float32)) > 0.5)
+            def _(b=b):
+                for s in range(8):
+                    oh = ((lane_f + basef) == idxs[b][s:s + 1, :]).astype(
+                        jnp.float32)  # (tile, L)
+                    g_scr[b * 8 + s] = g_scr[b * 8 + s] + jax.lax.dot_general(
+                        blk, oh, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (32, L)
+        return c
+
+    jax.lax.fori_loop(0, n_tiles, gather_body, 0)
+
+    g = [
+        [
+            jnp.concatenate(
+                [g_scr[b * 8 + s, k:k + 1, :] for s in range(8)], axis=0)
+            for k in range(rk.G_ROWS)
+        ]
+        for b in range(B)
+    ]
+
+    # ---- in-kernel vjp of the shared replay chain -------------------------
+    sky_blk = tuple(
+        jnp.full(shape, sky_ref[k], jnp.float32) for k in range(6))
+
+    def f(o, d, g, sky_blk):
+        return rk._chain(o, d, g, flags, urand, sky_blk, max_depth=B,
+                         t_min=t_min, shadow_eps=shadow_eps, pdf_eps=pdf_eps)
+
+    _, vjp = jax.vjp(f, o, d, g, sky_blk)
+    do, dd, dg, dsky = vjp((dcol_ref[0], dcol_ref[1], dcol_ref[2]))
+
+    for c in range(3):
+        drays_ref[c] = do[c]
+        drays_ref[c + 3] = dd[c]
+    drays_ref[6] = jnp.zeros(shape, jnp.float32)
+    drays_ref[7] = jnp.zeros(shape, jnp.float32)
+    for k in range(6):
+        dsky_ref[k] = dsky_ref[k] + dsky[k]
+
+    # ---- transpose-scatter dg into the table-gradient accumulator ---------
+    zpad = jnp.zeros((_G_PAD - rk.G_ROWS, L), jnp.float32)
+    for b in range(B):
+        for s in range(8):
+            g_scr[b * 8 + s] = jnp.concatenate(
+                [dg[b][k][s:s + 1, :] for k in range(rk.G_ROWS)] + [zpad],
+                axis=0)  # (32, L)
+
+    def scatter_body(jt, c):
+        basef = (jt * tile).astype(jnp.float32)
+        for b in range(B):
+            in_t = (idxs[b] >= basef) & (idxs[b] < basef + tile)
+
+            @pl.when(jnp.max(in_t.astype(jnp.float32)) > 0.5)
+            def _(b=b):
+                for s in range(8):
+                    oh = ((lane_f + basef) == idxs[b][s:s + 1, :]).astype(
+                        jnp.float32)  # (tile, L)
+                    dtab_ref[jt] = dtab_ref[jt] + jax.lax.dot_general(
+                        g_scr[b * 8 + s], oh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (32, tile)
+        return c
+
+    jax.lax.fori_loop(0, n_tiles, scatter_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "t_min", "shadow_eps", "pdf_eps",
+                     "tri_rows", "n_rays", "lanes", "interpret"))
+def _fused_bwd_call(sky, tab3, rays, sel, urand, dcol, *, max_depth, t_min,
+                    shadow_eps, pdf_eps, tri_rows, n_rays, lanes, interpret):
+    Ltot = rays.shape[2]
+    B = max_depth
+    n_tiles, _, tile = tab3.shape
+    grid = (Ltot // lanes,)
+
+    def blk(rows):
+        return pl.BlockSpec((rows, 8, lanes), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(
+            _fused_bwd_kernel, max_depth=B, t_min=t_min,
+            shadow_eps=shadow_eps, pdf_eps=pdf_eps, tri_rows=tri_rows,
+            n_rays=n_rays, l_total=Ltot),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            blk(8),
+            blk(4 * B),
+            blk(2 * B),
+            blk(4),
+        ],
+        out_specs=[
+            blk(8),
+            pl.BlockSpec((n_tiles, _G_PAD, tile), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8, lanes), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, 8, Ltot), jnp.float32),
+            jax.ShapeDtypeStruct(tab3.shape, jnp.float32),
+            jax.ShapeDtypeStruct((8, 8, lanes), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B * 8, _G_PAD, lanes), jnp.float32)],
+        interpret=interpret,
+    )(sky, tab3, rays, sel, urand, dcol)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_core(max_depth, t_min, shadow_eps, pdf_eps, tri_rows, n_rays,
+               lanes, interpret):
+    """custom_vjp core over (table, sky6, rays_p): primal color is computed
+    out-of-band by the recording megakernel and passed through; backward is
+    the single fused kernel above."""
+    kw = dict(max_depth=max_depth, t_min=t_min, shadow_eps=shadow_eps,
+              pdf_eps=pdf_eps, tri_rows=tri_rows, n_rays=n_rays, lanes=lanes,
+              interpret=interpret)
+
+    @jax.custom_vjp
+    def core(table, sky6, rays_p, sel_p, urand_p, color):
+        return color
+
+    def fwd(table, sky6, rays_p, sel_p, urand_p, color):
+        return color, (table, sky6, rays_p, sel_p, urand_p)
+
+    def bwd(res, dcolor):
+        table, sky6, rays_p, sel_p, urand_p = res
+        Ltot = rays_p.shape[2]
+        dcol = jnp.pad(dcolor.T, ((0, 1), (0, 8 * Ltot - n_rays)))
+        dcol = dcol.reshape(4, 8, Ltot)
+        tab3 = _pack_table3(jax.lax.stop_gradient(table))
+        sky = jnp.pad(sky6, (0, 2))
+        drays, dtab3, dsky_blk = _fused_bwd_call(
+            sky, tab3, rays_p, sel_p, urand_p, dcol, **kw)
+        dtable = _unpack_dtable3(dtab3, table.shape[0])
+        dsky6 = jnp.sum(dsky_blk, axis=(1, 2))[:6]
+        return (dtable, dsky6, drays, jnp.zeros_like(sel_p),
+                jnp.zeros_like(urand_p), jnp.zeros_like(dcolor))
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def trace_grad(key, o, d, packet, config, interpret=None, force=None):
+    """Differentiable fused trace → linear color (R, 3).
+
+    Drop-in replacement for `integrator.trace` wherever the megakernel
+    `supports()` the scene: dense serial-sweep forward for reference-demo
+    scenes (<= 64 primitives), culled lane-parallel forward for triangle
+    scenes (BASELINE configs 3-4). Gradients w.r.t. transforms, geometry,
+    materials, sky (through the unified table) and the primary rays
+    (→ camera) — same detached-visibility estimator as `ops.path_replay`,
+    with both the O(R*P) sweep AND the entire backward chain fused on-chip.
+
+    ``force``: None (auto: dense when supported), "dense", or "culled".
+    """
+    from ptre_tpu.ops.path_replay import _build_table
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    sg = jax.lax.stop_gradient
+    pkt_d = jax.tree.map(sg, packet)
+    R = o.shape[0]
+
+    dense = mk.dense_supported(packet) if force is None else (force == "dense")
+    if dense:
+        color, sel_p, urand_p = mk.trace_fused_sel(
+            key, sg(o), sg(d), pkt_d, config, interpret=interpret,
+            planar="color")
+        perm = None
+    else:
+        color, sel_p, urand_p, perm = mk.trace_culled_sel(
+            key, sg(o), sg(d), pkt_d, config, interpret=interpret)
+
+    table, T, sky6 = _build_table(packet)
+    if perm is not None:
+        # recorded tri indices refer to the Morton-permuted rows; permute the
+        # differentiable table to match (gradients flow back through the
+        # gather's transpose automatically)
+        table = jnp.concatenate([table[:T][perm], table[T:]], axis=0)
+
+    Ltot = sel_p.shape[2]
+    rays_p = _pack_rays_planar(o, d, Ltot)
+    lanes = _BWD_LANES if Ltot % _BWD_LANES == 0 else 128
+    assert Ltot % lanes == 0, (Ltot, lanes)
+    core = _make_core(config.max_depth, float(config.t_min),
+                      float(config.shadow_eps), float(config.pdf_eps),
+                      int(T), int(R), lanes, bool(interpret))
+    return core(table, sky6, rays_p, sel_p, urand_p, color)

@@ -204,16 +204,23 @@ def _mega_kernel(
     sph_ref,  # (S_pad, 16) resident
     mat_ref,  # (8, 8) SMEM
     out_ref,  # (4, lanes) block out: rgb + spare
-    scr_ref,  # VMEM (56, lanes) f32 scratch: sweep accum (0-2), attr
-    #           gather (8-39), path state o/d/rgb/active (40-49)
-    *,
+    *maybe_sel_and_scratch,  # [sel_ref (4*max_depth, lanes) if record_sel,]
+    #                          scr_ref VMEM (56, lanes) f32 scratch: sweep
+    #                          accum (0-2), attr gather (8-39), path state
+    #                          o/d/rgb/active (40-49)
     tri_tile: int,
     sph_tile: int,
     max_depth: int,
     num_mats: int,
     external_rng: bool,
     cull: bool,
+    record_sel: bool = False,
 ):
+    if record_sel:
+        sel_ref, scr_ref = maybe_sel_and_scratch
+    else:
+        (scr_ref,) = maybe_sel_and_scratch
+        sel_ref = None
     t_min = scal_ref[0]
     t_max = scal_ref[1]
     det_eps = scal_ref[2]
@@ -369,6 +376,17 @@ def _mega_kernel(
         hit = tri_hit | sph_hit
         use_sph = sph_hit
 
+        if sel_ref is not None:
+            # forward half of the fused gradient path: record the winning
+            # primitive selection per bounce (see `_trace_block`'s sel_ref)
+            sel_ref[4 * bounce + 0 : 4 * bounce + 1, :] = best_if
+            sel_ref[4 * bounce + 1 : 4 * bounce + 2, :] = sph_i.astype(
+                jnp.float32)
+            sel_ref[4 * bounce + 2 : 4 * bounce + 3, :] = use_sph.astype(
+                jnp.float32)
+            sel_ref[4 * bounce + 3 : 4 * bounce + 4, :] = (
+                hit & active).astype(jnp.float32)
+
         # ---- winner attribute gather: one-hot MXU matmul per tile, only
         # for tiles that actually contain some lane's winner ----------------
         scr_ref[8:40, :] = jnp.zeros((32, lanes), jnp.float32)
@@ -492,6 +510,11 @@ def _mega_kernel(
         scr_ref[44:45, :] = jnp.where(next_active, wiy, dy)
         scr_ref[45:46, :] = jnp.where(next_active, wiz, dz)
         scr_ref[49:50, :] = next_active.astype(jnp.float32)
+
+    if sel_ref is not None:
+        # zero-init: bounces skipped by the all-dead early exit must read as
+        # miss (hit=0) in the replay
+        sel_ref[...] = jnp.zeros_like(sel_ref)
 
     # bounce 0 always runs; bounces 1+ are skipped once the whole block is
     # terminated (sky/emissive) — identical results, a dead block's bounce
@@ -931,18 +954,32 @@ def _mega_call_dense(scalars, sky, seed, rays, urand, tris, sphs, mats,
 @functools.partial(
     jax.jit,
     static_argnames=("tri_tile", "sph_tile", "lanes", "max_depth",
-                     "num_mats", "external_rng", "cull", "interpret"),
+                     "num_mats", "external_rng", "cull", "record_sel",
+                     "interpret"),
 )
 def _mega_call(scalars, sky, seed, rays, urand, tris, boxes, sphs, mats,
                tri_tile, sph_tile, lanes, max_depth, num_mats, external_rng,
-               cull=True, interpret=False):
+               cull=True, record_sel=False, interpret=False):
     r_pad = rays.shape[1]
     urand_rows = urand.shape[0]
+    out_specs = pl.BlockSpec((4, lanes), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((4, r_pad), jnp.float32)
+    if record_sel:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((4 * max_depth, lanes), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((4 * max_depth, r_pad), jnp.float32),
+        ]
     out = pl.pallas_call(
         functools.partial(
             _mega_kernel, tri_tile=tri_tile, sph_tile=sph_tile,
             max_depth=max_depth, num_mats=num_mats, external_rng=external_rng,
-            cull=cull,
+            cull=cull, record_sel=record_sel,
         ),
         grid=(r_pad // lanes,),
         in_specs=[
@@ -960,9 +997,8 @@ def _mega_call(scalars, sky, seed, rays, urand, tris, boxes, sphs, mats,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # material table: scalar reads
         ],
-        out_specs=pl.BlockSpec((4, lanes), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, r_pad), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((56, lanes), jnp.float32)],
         interpret=interpret,
     )(scalars, sky, seed, rays, urand, tris, boxes, sphs, mats)
@@ -1049,17 +1085,95 @@ def trace_fused_sel(key, o, d, packet, config, interpret=False,
     urand = _pad_to(urand_flat, block, axis=1)
     urand = urand.reshape(urand.shape[0], _DENSE_SUB, L)
 
-    _, sel = _mega_call_dense(
+    out, sel = _mega_call_dense(
         scalars, sky, seed, rays, urand, tris, sphs, mats,
         n_tri=nt, n_sph=ns, lanes=lanes,
         max_depth=config.max_depth, num_mats=packet.num_materials,
         external_rng=True, record_sel=True, interpret=interpret,
     )
+    if planar == "color":
+        color = out.reshape(4, _DENSE_SUB * L)[:3, :R].T
+        return color, sel, urand
     if planar:
         return sel, urand
     sel = sel.reshape(4 * config.max_depth, _DENSE_SUB * L)[:, :R]
     sel = sel.reshape(config.max_depth, 4, R)
     return sel, urand_flat
+
+
+def trace_culled_sel(key, o, d, packet, config, cull=True, interpret=False):
+    """Trace one sample per ray on the CULLED lane-parallel megakernel,
+    recording per-bounce winner selections — the forward half of the
+    triangle-scale fused gradient path (`ops.fused_grad`).
+
+    Same external-threefry uniforms convention as `trace_fused_sel`; applies
+    to every scene `supports()` accepts (up to 32k Morton-ordered triangles
+    with per-tile AABB culling — the differentiable answer to the
+    reference's brute-force scaling cliff, `path_tracer.cu:263-282`).
+
+    Returns (color (R, 3), sel (4B, 8, L), urand (2B, 8, L), perm) in the
+    dense planar layout (r = sublane*L + lane); ``perm`` is the
+    Morton permutation applied to the triangle arrays (recorded tri indices
+    refer to PERMUTED rows) or None when culling is off/empty.
+    """
+    assert supports(packet), "fused selection needs a VMEM-resident scene"
+    v0, v1, v2, n0, n1, n2 = packet.world_triangles()
+    R = o.shape[0]
+    n_tri = v0.shape[0]
+    n_sph = packet.sph_center.shape[0]
+    mats = pack_mats(packet.mat_kind, packet.mat_albedo, packet.mat_param)
+    scalars = jnp.array(
+        [config.t_min, config.t_max, config.det_eps, config.shadow_eps,
+         config.pdf_eps, 0.0, 0.0, 0.0], jnp.float32,
+    )
+    sky = jnp.concatenate(
+        [packet.sky_bottom, packet.sky_top, jnp.zeros(2, jnp.float32)]
+    ).astype(jnp.float32)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    tri_tile = _CULL_TILE if cull else _tile_for(n_tri)
+    sph_tile = _tile_for(n_sph)
+    lanes = _lanes_for(max(tri_tile, sph_tile))
+
+    tri_valid, tri_mat = packet.tri_valid, packet.tri_mat
+    perm = None
+    if cull and n_tri > 0:
+        perm = morton_order(v0, v1, v2, tri_valid)
+        v0, v1, v2 = v0[perm], v1[perm], v2[perm]
+        n0, n1, n2 = n0[perm], n1[perm], n2[perm]
+        tri_valid, tri_mat = tri_valid[perm], tri_mat[perm]
+
+    # pad the ray tail to a full 8*lanes planar block so the flat lane order
+    # reshapes losslessly into the dense planar (8, L) layout for the
+    # backward kernel
+    block = _DENSE_SUB * lanes
+    rows = jnp.concatenate([o.T, d.T, jnp.zeros((2, R), o.dtype)], axis=0)
+    rays = _pad_to(rows, block, axis=1)
+    r_pad = rays.shape[1]
+    if n_tri == 0:
+        tris = jnp.zeros((tri_tile, 32), jnp.float32)
+        boxes = jnp.concatenate(
+            [jnp.full((1, 3), _BOX_INF), jnp.full((1, 3), -_BOX_INF),
+             jnp.zeros((1, 2))], axis=1,
+        ).astype(jnp.float32)
+    else:
+        tris = pack_tri32(v0, v1, v2, n0, n1, n2, tri_valid, tri_mat, tri_tile)
+        boxes = pack_tile_boxes(v0, v1, v2, tri_valid, tri_tile)
+    sphs = pack_sph16(packet.sph_center, packet.sph_radius, packet.sph_valid,
+                      packet.sph_mat, sph_tile)
+    urand = _pad_to(_build_urand(key, R, config.max_depth), block, axis=1)
+
+    out, sel = _mega_call(
+        scalars, sky, seed, rays, urand, tris, boxes, sphs, mats,
+        tri_tile=tri_tile, sph_tile=sph_tile, lanes=lanes,
+        max_depth=config.max_depth, num_mats=packet.num_materials,
+        external_rng=True, cull=cull, record_sel=True, interpret=interpret,
+    )
+    color = out[:3, :R].T
+    L = r_pad // _DENSE_SUB
+    sel = sel.reshape(4 * config.max_depth, _DENSE_SUB, L)
+    urand = urand.reshape(urand.shape[0], _DENSE_SUB, L)
+    return color, sel, urand, perm
 
 
 def trace_fused(seed, o, d, packet, config, key=None, interpret=False,

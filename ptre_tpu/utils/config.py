@@ -47,10 +47,12 @@ class RenderConfig:
     #: elsewhere), "xla", or "pallas"
     intersect_backend: str = "auto"
     #: sweep backend for DIFFERENTIABLE traces (`integrator.trace`):
-    #: "auto" (fused megakernel selection + XLA replay on TPU when the dense
-    #: kernel supports the scene — `ops.path_replay`; staged per-bounce sweep
-    #: elsewhere), "fused", or "staged". The sweep is stop-gradient either
-    #: way (detached visibility); "fused" moves its O(R*P) cost on-chip.
+    #: "auto" (fully-fused custom-VJP path on TPU whenever the megakernel
+    #: supports the scene — `ops.pallas.fused_grad`; staged per-bounce sweep
+    #: elsewhere), "fused" (force the fused path), "replay" (round-2 planar
+    #: replay, dense scenes only, kept for A/B), or "staged". The sweep is
+    #: stop-gradient every way (detached visibility); "fused" keeps its
+    #: O(R*P) cost AND the whole backward chain on-chip.
     grad_sweep: str = "auto"
     #: rematerialize the bounce body in the backward pass (`jax.checkpoint`).
     #: Without it, autodiff of the bounce scan stores every per-bounce

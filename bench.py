@@ -91,11 +91,14 @@ def _bench_forward(W, H, spp, steps, tri_scene=False):
     return rays / dt / 1e6
 
 
-def _bench_fwdbwd(W, H, steps):
+def _bench_fwdbwd(W, H, steps, tri_scene=False):
     """Forward+backward Mrays/s: one value_and_grad train step per sample,
-    gradients w.r.t. all differentiable params, fused-sweep replay path."""
+    gradients w.r.t. all differentiable params, fully-fused gradient path
+    (`ops/pallas/fused_grad.py`). Asserts every gradient leaf is finite at
+    the benchmarked shape (the round-2 planar-replay NaN class)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from ptre_tpu.models import demo
     from ptre_tpu.ops import camera as cam_ops, path_replay, rng
@@ -103,7 +106,7 @@ def _bench_fwdbwd(W, H, steps):
     from ptre_tpu.render import pathtracer as pt
     from ptre_tpu.utils.config import RenderConfig
 
-    scn = demo.reference_demo_scene(32, 16)
+    scn = _tri_scene() if tri_scene else demo.reference_demo_scene(32, 16)
     pkt = scn.build_packet()
     cam = cam_ops.Camera.create(width=W, height=H)
     cfg = RenderConfig(width=W, height=H)
@@ -138,12 +141,15 @@ def _bench_fwdbwd(W, H, steps):
 
     step = jax.jit(jax.value_and_grad(loss), static_argnums=2)
 
-    # one 64-spp forward+backward step: proves the full-depth 1080p backward
-    # fits and executes on the chip (BASELINE "1080p @ 64spp"); warm up
-    # first so t64 is execution, not compile
+    # one 64-spp forward+backward step: proves the full-depth backward at
+    # the BASELINE shape fits and executes on the chip ("1080p @ 64spp" /
+    # "512^2 @ 64spp" for the triangle scene); warm up first so t64 is
+    # execution, not compile
     spp64 = 64
     _, grads = step(params, key, spp64)
-    float(jax.tree.leaves(grads)[0].sum())
+    for k2, v in grads.items():
+        assert np.isfinite(np.asarray(v)).all(), (
+            f"non-finite gradient leaf {k2!r} at {W}x{H} spp={spp64}")
     t0 = time.perf_counter()
     _, grads = step(params, rng.fold(key, 0x64), spp64)
     float(jax.tree.leaves(grads)[0].sum())
@@ -151,7 +157,9 @@ def _bench_fwdbwd(W, H, steps):
 
     # sustained throughput at spp=1 per step (same per-ray work)
     _, grads = step(params, rng.fold(key, 1), 1)
-    float(jax.tree.leaves(grads)[0].sum())
+    for k2, v in grads.items():
+        assert np.isfinite(np.asarray(v)).all(), (
+            f"non-finite gradient leaf {k2!r} at {W}x{H} spp=1")
     t0 = time.perf_counter()
     for i in range(2, steps + 2):
         _, grads = step(params, rng.fold(key, i), 1)
@@ -171,14 +179,15 @@ def main(argv=None):
     p.add_argument("--skip-bwd", action="store_true")
     p.add_argument("--skip-fwd", action="store_true")
     p.add_argument("--tri-scene", action="store_true",
-                   help="bench BASELINE config 3 (~16k-tri scene) instead of "
-                        "the demo scene; implies --skip-bwd (the fused-sweep "
-                        "replay path needs the dense kernel, see "
-                        "scripts/bench_tri.py for the culling A/B)")
+                   help="bench BASELINE config 3 (~16k-tri scene at 512^2) "
+                        "instead of the demo scene — forward via the culled "
+                        "lane-parallel kernel AND fwd+bwd via the fused "
+                        "gradient path (see scripts/bench_tri.py for the "
+                        "culling A/B)")
     args = p.parse_args(argv)
+    if args.tri_scene and "--width" not in (argv or sys.argv):
+        args.width = args.height = 512  # BASELINE config 3 shape
     W, H = args.width, args.height
-    if args.tri_scene:
-        args.skip_bwd = True
 
     extra = {}
     fwd = None
@@ -186,7 +195,8 @@ def main(argv=None):
         fwd = _bench_forward(W, H, args.spp, args.steps,
                              tri_scene=args.tri_scene)
     if not args.skip_bwd:
-        fb, fb64 = _bench_fwdbwd(W, H, args.steps)
+        fb, fb64 = _bench_fwdbwd(W, H, args.steps,
+                                 tri_scene=args.tri_scene)
         extra["fwdbwd_mrays_per_s"] = round(fb, 2)
         extra["fwdbwd_64spp_step_mrays_per_s"] = round(fb64, 2)
     if fwd is None:

@@ -137,27 +137,38 @@ def _fused_bwd_kernel(
 
     lane_f = jax.lax.broadcasted_iota(jnp.int32, (tile, L), 0).astype(
         jnp.float32)
+    # small tables: unroll the tile loop (no fori/when overhead — measured
+    # 12.6 -> 8.3 ms at 1080p for the single-tile demo table)
+    unroll = n_tiles <= 4
 
     # ---- gather winner rows g from the resident table ---------------------
     g_scr[...] = jnp.zeros_like(g_scr)
 
-    def gather_body(jt, c):
-        basef = (jt * tile).astype(jnp.float32)
+    def gather_tile(jt, basef):
         blk = tab_ref[jt]  # (32, tile)
         for b in range(B):
-            in_t = (idxs[b] >= basef) & (idxs[b] < basef + tile)
-
-            @pl.when(jnp.max(in_t.astype(jnp.float32)) > 0.5)
-            def _(b=b):
+            def work(b=b):
                 for s in range(8):
                     oh = ((lane_f + basef) == idxs[b][s:s + 1, :]).astype(
                         jnp.float32)  # (tile, L)
                     g_scr[b * 8 + s] = g_scr[b * 8 + s] + jax.lax.dot_general(
                         blk, oh, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)  # (32, L)
-        return c
 
-    jax.lax.fori_loop(0, n_tiles, gather_body, 0)
+            if n_tiles == 1:
+                work()
+            else:
+                in_t = (idxs[b] >= basef) & (idxs[b] < basef + tile)
+                pl.when(jnp.max(in_t.astype(jnp.float32)) > 0.5)(work)
+
+    if unroll:
+        for jt in range(n_tiles):
+            gather_tile(jt, jnp.float32(jt * tile))
+    else:
+        jax.lax.fori_loop(
+            0, n_tiles,
+            lambda jt, c: (gather_tile(jt, (jt * tile).astype(jnp.float32)),
+                           c)[1], 0)
 
     g = [
         [
@@ -195,22 +206,30 @@ def _fused_bwd_kernel(
                 [dg[b][k][s:s + 1, :] for k in range(rk.G_ROWS)] + [zpad],
                 axis=0)  # (32, L)
 
-    def scatter_body(jt, c):
-        basef = (jt * tile).astype(jnp.float32)
+    def scatter_tile(jt, basef):
         for b in range(B):
-            in_t = (idxs[b] >= basef) & (idxs[b] < basef + tile)
-
-            @pl.when(jnp.max(in_t.astype(jnp.float32)) > 0.5)
-            def _(b=b):
+            def work(b=b):
                 for s in range(8):
                     oh = ((lane_f + basef) == idxs[b][s:s + 1, :]).astype(
                         jnp.float32)  # (tile, L)
                     dtab_ref[jt] = dtab_ref[jt] + jax.lax.dot_general(
                         g_scr[b * 8 + s], oh, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)  # (32, tile)
-        return c
 
-    jax.lax.fori_loop(0, n_tiles, scatter_body, 0)
+            if n_tiles == 1:
+                work()
+            else:
+                in_t = (idxs[b] >= basef) & (idxs[b] < basef + tile)
+                pl.when(jnp.max(in_t.astype(jnp.float32)) > 0.5)(work)
+
+    if unroll:
+        for jt in range(n_tiles):
+            scatter_tile(jt, jnp.float32(jt * tile))
+    else:
+        jax.lax.fori_loop(
+            0, n_tiles,
+            lambda jt, c: (scatter_tile(jt, (jt * tile).astype(jnp.float32)),
+                           c)[1], 0)
 
 
 @functools.partial(
@@ -334,7 +353,9 @@ def trace_grad(key, o, d, packet, config, interpret=None, force=None):
 
     Ltot = sel_p.shape[2]
     rays_p = _pack_rays_planar(o, d, Ltot)
-    lanes = _BWD_LANES if Ltot % _BWD_LANES == 0 else 128
+    # 128 lanes: wider blocks (256) spill the in-kernel vjp's live values
+    # (measured 4x slower at 1080p)
+    lanes = _BWD_LANES
     assert Ltot % lanes == 0, (Ltot, lanes)
     core = _make_core(config.max_depth, float(config.t_min),
                       float(config.shadow_eps), float(config.pdf_eps),

@@ -237,6 +237,117 @@ def shard_train_step(
     return loss, grads, new_params
 
 
+def shard_raster_step(mesh: Mesh, packet, cam: cam_ops.Camera, config,
+                      soft: bool = False, sigma: float = 0.5):
+    """Rasterize with pixel rows sharded over the dp axis → (H, W, 3).
+
+    The z-buffer test is per-pixel, so rows are independent given the
+    transformed triangles: every chip runs the identical (T-sized, cheap)
+    vertex stage on the replicated packet and rasterizes only its own rows
+    — ZERO collectives, the rasterizer analogue of the path tracer's
+    pixel-row sharding (BASELINE config 5 "tiles sharded across multi-host
+    pod"; reference analogue `rasterizer.cu:155-169`, one draw over one
+    scene). ``soft=True`` shards the differentiable SoftRas variant the
+    same way.
+    """
+    from ptre_tpu.render import rasterizer as rz
+
+    dp = mesh.shape["dp"]
+    assert config.height % dp == 0, (config.height, dp)
+    rows = config.height // dp
+
+    def local(packet):
+        dp_i = jax.lax.axis_index("dp")
+        y0 = (dp_i * rows).astype(jnp.float32)
+        return rz.raster_rows(packet, cam, config, y0, rows, soft=soft,
+                              sigma=sigma)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(),),
+        out_specs=P("dp", None, None), check_vma=False,
+    )(packet)
+
+
+def dual_pipeline_step(mesh: Mesh, packet, raster_packet, cam: cam_ops.Camera,
+                       accum: pt.AccumState, key, config: RenderConfig,
+                       raster_config, spp: int = 1):
+    """BASELINE config 5: rasterizer pass + path-traced pass over the SAME
+    scene and camera, both row-sharded over the mesh.
+
+    The reference's two engines share one scene/camera and are toggled live
+    (`renderer.cu:45-78`); here both run per frame: the z-buffer pass gives
+    the instant preview frame, the path-traced pass advances the
+    progressive accumulator. Returns (accum', raster_img), each sharded
+    over dp rows.
+    """
+    accum = shard_render_step(mesh, packet, cam, accum, key, config, spp=spp)
+    raster = shard_raster_step(mesh, raster_packet, cam, raster_config)
+    return accum, raster
+
+
+def dual_train_step(mesh: Mesh, params, packet, raster_packet,
+                    cam: cam_ops.Camera, target, key, config: RenderConfig,
+                    raster_config, spp: int = 1, raster_weight: float = 0.5,
+                    sigma: float = 0.5):
+    """Differentiable dual-pipeline step: L2 of the path-traced image plus
+    L2 of the SOFT (differentiable) rasterizer image against the same
+    row-sharded target; gradients from BOTH pipelines psum-combined.
+
+    The loss couples the pipelines through the shared parameters
+    (transforms, camera): the rasterizer contributes silhouette-smooth
+    geometry gradients where the detached-visibility path tracer has none.
+    Returns (loss, grads).
+    """
+    from ptre_tpu.render import rasterizer as rz
+
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    assert spp % sp == 0
+    local_spp = spp // sp
+    rows = _local_rows(cam, dp)
+    assert config.height == raster_config.height
+    assert config.width == raster_config.width
+
+    def local_loss(params, packet, raster_packet, target_rows, key):
+        dp_i = jax.lax.axis_index("dp")
+        sp_i = jax.lax.axis_index("sp")
+        y0 = (dp_i * rows).astype(jnp.float32)
+        lkey = rng.fold(key, dp_i * 131071 + sp_i)
+        pkt, lcam = _apply_params(params, packet, cam)
+        # raster packet shares the transform/camera leaves
+        rpkt = raster_packet.replace(transforms=params["transforms"])
+
+        def body(acc, s):
+            img = _sample_rows(rng.fold(lkey, s), pkt, lcam, config, y0, rows)
+            return acc + img.reshape(rows, cam.width, 3), None
+
+        if local_spp == 1:
+            acc, _ = body(jnp.zeros((rows, cam.width, 3), jnp.float32), 0)
+        else:
+            if config.remat_bounces:
+                body = jax.checkpoint(body)
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((rows, cam.width, 3), jnp.float32),
+                jnp.arange(local_spp))
+        pt_img = jax.lax.pmean(acc / local_spp, "sp")
+        rz_img = rz.raster_rows(rpkt, lcam, raster_config, y0, rows,
+                                soft=True, sigma=sigma)
+        pt_loss = jnp.mean((pt_img - target_rows) ** 2)
+        rz_loss = jnp.mean((rz_img - target_rows) ** 2)
+        return pt_loss + raster_weight * rz_loss
+
+    def local_step(params, packet, raster_packet, target_rows, key):
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, packet, raster_packet, target_rows, key)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, ("dp", "sp")), grads)
+        return jax.lax.pmean(loss, "dp"), grads
+
+    return jax.jit(jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(), P("dp", None, None), P()),
+        out_specs=(P(), P()), check_vma=False,
+    ))(params, packet, raster_packet, target, key)
+
+
 def make_render_step(mesh: Mesh, cam: cam_ops.Camera, config: RenderConfig,
                      spp: int = 1):
     """Build a jit-compiled sharded progressive render step.

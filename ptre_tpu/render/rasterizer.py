@@ -177,6 +177,21 @@ def rasterize(
         if raster_kernel.supports(config):
             return raster_kernel.rasterize_fused(packet, cam, config)
 
+    return raster_rows(packet, cam, config, 0.0, config.height, soft=soft,
+                       sigma=sigma, row_chunk=row_chunk)
+
+
+def raster_rows(packet, cam, config: RasterConfig, y0, rows,
+                soft: bool = False, sigma: float = 0.5, row_chunk: int = 0):
+    """Rasterize a horizontal window of ``rows`` output rows starting at
+    output row ``y0`` → (rows, W, 3), supersampled + resolved.
+
+    Pixel rows are independent given the transformed triangles (the
+    z-buffer test is per-pixel), which makes this the dp-sharding unit for
+    the multi-chip rasterizer (`parallel.sharding.shard_raster_step`):
+    every chip runs the identical (cheap, T-sized) vertex stage and
+    rasterizes only its own rows. ``y0`` may be traced (per-chip offset).
+    """
     ss = config.supersample
     W, H = config.width * ss, config.height * ss
 
@@ -194,8 +209,10 @@ def rasterize(
     screen = jnp.stack([sx, sy], axis=-1)
     depth01 = ndc[..., 2]
 
+    Hw = rows * ss  # supersampled rows in this window
     xs = (jnp.arange(W, dtype=jnp.float32) + 0.5)
-    ys = (jnp.arange(H, dtype=jnp.float32) + 0.5)
+    ys = (jnp.asarray(y0, jnp.float32) * ss
+          + jnp.arange(Hw, dtype=jnp.float32) + 0.5)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
 
     def run_rows(rows_xy):
@@ -205,17 +222,17 @@ def rasterize(
             packet.tri_valid, config, soft, sigma,
         )
 
-    if row_chunk and H > row_chunk:
-        assert H % row_chunk == 0, (H, row_chunk)
-        chunks = H // row_chunk
+    if row_chunk and Hw > row_chunk:
+        assert Hw % row_chunk == 0, (Hw, row_chunk)
+        chunks = Hw // row_chunk
         gxc = gx.reshape(chunks, row_chunk * W)
         gyc = gy.reshape(chunks, row_chunk * W)
-        img = jax.lax.map(run_rows, (gxc, gyc)).reshape(H, W, 3)
+        img = jax.lax.map(run_rows, (gxc, gyc)).reshape(Hw, W, 3)
     else:
-        img = run_rows((gx, gy)).reshape(H, W, 3)
+        img = run_rows((gx, gy)).reshape(Hw, W, 3)
 
     # MSAA-style box resolve (`rasterizer.cu:142` ResolveSubresource)
-    img = img.reshape(config.height, ss, config.width, ss, 3).mean(axis=(1, 3))
+    img = img.reshape(rows, ss, config.width, ss, 3).mean(axis=(1, 3))
     return img
 
 

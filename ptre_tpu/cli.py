@@ -84,12 +84,11 @@ def cmd_bench(args) -> int:
     # delegate to the repo-level benchmark for a single comparable line,
     # forwarding the requested size (cli --width/--height are honored)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    bench_path = os.path.join(root, "bench.py")
-    sys.argv = ["bench.py", "--width", str(args.width),
-                "--height", str(args.height)]
-    ns = {"__name__": "__main__", "__file__": bench_path}
-    with open(bench_path) as f:
-        exec(compile(f.read(), bench_path, "exec"), ns)
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import bench
+
+    bench.main(["--width", str(args.width), "--height", str(args.height)])
     return 0
 
 

@@ -1211,7 +1211,9 @@ def trace_culled_sel(key, o, d, packet, config, cull=True, interpret=False):
 
     tri_tile = _CULL_TILE if cull else _tile_for(n_tri)
     sph_tile = _tile_for(n_sph)
-    lanes = _lanes_for(max(tri_tile, sph_tile))
+    # interpret mode (CPU tests) simulates every padded lane; the wide
+    # production ray blocks would inflate tiny test batches ~100x
+    lanes = 128 if interpret else _lanes_for(max(tri_tile, sph_tile))
 
     tri_valid, tri_mat = packet.tri_valid, packet.tri_mat
     perm = None

@@ -174,7 +174,7 @@ def rasterize(
     if not soft and backend != "xla" and (on_tpu or backend == "pallas"):
         from ptre_tpu.ops.pallas import raster_kernel
 
-        if raster_kernel.supports(config):
+        if raster_kernel.supports(config) and raster_kernel.fits(packet):
             return raster_kernel.rasterize_fused(packet, cam, config)
 
     return raster_rows(packet, cam, config, 0.0, config.height, soft=soft,

@@ -94,7 +94,22 @@ def main():
     rep_vg = jax.jit(jax.value_and_grad(rep))
     out["replay_fwdbwd_ms"] = _time(rep_vg, params, o, d, sel, urand) * 1e3
 
-    # 6. full step (bench.py's loss at spp=1)
+    # 6. fully-fused gradient path (round 3, `ops/pallas/fused_grad.py`):
+    # forward = recording megakernel; backward = single fused kernel
+    from ptre_tpu.ops.pallas import fused_grad
+
+    def fused_loss(pr, k):
+        pk, cm = sh._apply_params(pr, pkt, cam)
+        jit = rng.pixel_jitter(rng.fold(k, 0x9E37), (R,))
+        oo, dd = cam_ops.get_rays(cm, px, py, jit)
+        return fused_grad.trace_grad(k, oo, dd, pk, cfg).mean()
+
+    out["fused_fwd_ms"] = _time(jax.jit(fused_loss), params, key) * 1e3
+    fused_vg = jax.jit(jax.value_and_grad(fused_loss))
+    out["fused_fwdbwd_ms"] = _time(fused_vg, params, key) * 1e3
+
+    # 7. full step (bench.py's loss at spp=1; routes through the fused path
+    # on TPU via integrator.trace)
     from ptre_tpu.ops import integrator
 
     def loss(pr, k):

@@ -55,6 +55,22 @@ def main():
         out[f"{name}_mpixels_per_s"] = round(W * H / dt / 1e6, 1)
     out["pallas_speedup"] = round(
         out["pallas_mpixels_per_s"] / out["xla_mpixels_per_s"], 1)
+
+    # differentiable (SoftRas) variant: the gradient-bearing pipeline of
+    # BASELINE config 5 — measured at the same frame shape
+    soft_fn = jax.jit(lambda: ras.rasterize(pkt, cam, cfg, soft=True,
+                                            row_chunk=96, backend="xla"))
+    t0 = time.perf_counter()
+    img = soft_fn()
+    float(img.sum())
+    out["soft_compile_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        img = soft_fn()
+    float(img.sum())
+    dt = (time.perf_counter() - t0) / 3
+    out["soft_ms_per_frame"] = round(dt * 1e3, 2)
+    out["soft_mpixels_per_s"] = round(W * H / dt / 1e6, 1)
     print(json.dumps(out))
 
 

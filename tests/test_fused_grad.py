@@ -7,11 +7,17 @@ replay computes the same quantities with jax.grad through
 tolerance — values and every parameter gradient — for BOTH forward kernels:
 the dense serial-sweep (demo-class scenes) and the culled lane-parallel
 (triangle scenes, BASELINE configs 3-4).
+
+Test economy note: ONE interpret-mode backward-kernel execution costs
+minutes on CPU (op-by-op dispatch × grid blocks), so scenes are sized to a
+single kernel block and each scenario runs exactly one fused backward,
+with params AND rays differentiated jointly in that single vjp.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ptre_tpu.models import demo
 from ptre_tpu.models import mesh as mg
@@ -23,11 +29,11 @@ from ptre_tpu.render import pathtracer as pt
 from ptre_tpu.utils.config import RenderConfig
 
 
-def _demo_setup(w=24, h=16):
+def _demo_setup(w=16, h=8, depth=3):
     scn = demo.reference_demo_scene(12, 6)
     pkt = scn.build_packet()
     cam = cam_ops.Camera.create(width=w, height=h)
-    cfg = RenderConfig(width=w, height=h)
+    cfg = RenderConfig(width=w, height=h, max_depth=depth)
     px, py = pt.pixel_grid(h, w)
     key = rng.key_for(1984)
     jitter = rng.pixel_jitter(rng.fold(key, 0x9E37), (px.shape[0],))
@@ -60,58 +66,54 @@ def _loss_weights(c):
     return jnp.cos(jnp.arange(c.size, dtype=jnp.float32).reshape(c.shape))
 
 
-def test_fused_dense_matches_xla_replay():
-    """Dense forward + fused backward == XLA replay, values and grads."""
-    pkt, cam, o, d, key, cfg = _demo_setup()
-    sel, urand = mk.trace_fused_sel(key, o, d, pkt, cfg, interpret=True)
+def _grads(pkt, cam, o, d, key, cfg, fused, force=None, sel=None, urand=None):
+    """value+grads of one scalar loss w.r.t. (params, o, d) in ONE vjp."""
     params = sh.differentiable_params(pkt, cam)
 
-    def loss_fused(par):
+    def loss(par, oo, dd):
         pk, _ = sh._apply_params(par, pkt, cam)
-        c = fused_grad.trace_grad(key, o, d, pk, cfg, interpret=True,
-                                  force="dense")
+        if fused:
+            c = fused_grad.trace_grad(key, oo, dd, pk, cfg, interpret=True,
+                                      force=force)
+        else:
+            c = path_replay.replay(oo, dd, sel, urand, pk, cfg, backend="xla")
         return jnp.sum(c * _loss_weights(c)), c
 
-    def loss_xla(par):
-        pk, _ = sh._apply_params(par, pkt, cam)
-        c = path_replay.replay(o, d, sel, urand, pk, cfg, backend="xla")
-        return jnp.sum(c * _loss_weights(c)), c
-
-    (_, c_f), g_f = jax.value_and_grad(loss_fused, has_aux=True)(params)
-    (_, c_x), g_x = jax.value_and_grad(loss_xla, has_aux=True)(params)
-    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_x),
-                               rtol=2e-5, atol=2e-6)
-    for k in g_x:
-        np.testing.assert_allclose(
-            np.asarray(g_f[k]), np.asarray(g_x[k]),
-            rtol=5e-4, atol=5e-6, err_msg=k)
+    (_, c), g = jax.value_and_grad(loss, (0, 1, 2), has_aux=True)(params, o, d)
+    return c, g
 
 
-def test_fused_dense_ray_grads():
-    """Camera-ray gradients flow through the planar rays packing."""
+def _assert_tree_close(ga, gb, rtol, atol):
+    pa, oa, da = ga
+    pb, ob, db = gb
+    for k in pb:
+        np.testing.assert_allclose(np.asarray(pa[k]), np.asarray(pb[k]),
+                                   rtol=rtol, atol=atol, err_msg=k)
+    np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
+                               rtol=rtol, atol=atol)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                               rtol=rtol, atol=2 * atol)
+
+
+def test_fused_dense_matches_xla_replay():
+    """Dense forward + fused backward == XLA replay: values AND gradients
+    w.r.t. every differentiable param plus the primary rays — one fused
+    backward execution covers all of it."""
     pkt, cam, o, d, key, cfg = _demo_setup()
     sel, urand = mk.trace_fused_sel(key, o, d, pkt, cfg, interpret=True)
-
-    def loss(oo, dd, fused):
-        if fused:
-            c = fused_grad.trace_grad(key, oo, dd, pkt, cfg, interpret=True,
-                                      force="dense")
-        else:
-            c = path_replay.replay(oo, dd, sel, urand, pkt, cfg,
-                                   backend="xla")
-        return jnp.sum(c * _loss_weights(c))
-
-    go_f, gd_f = jax.grad(lambda a, b: loss(a, b, True), (0, 1))(o, d)
-    go_x, gd_x = jax.grad(lambda a, b: loss(a, b, False), (0, 1))(o, d)
-    np.testing.assert_allclose(np.asarray(go_f), np.asarray(go_x),
-                               rtol=5e-4, atol=5e-6)
-    np.testing.assert_allclose(np.asarray(gd_f), np.asarray(gd_x),
-                               rtol=5e-4, atol=1e-5)
+    c_f, g_f = _grads(pkt, cam, o, d, key, cfg, fused=True, force="dense")
+    c_x, g_x = _grads(pkt, cam, o, d, key, cfg, fused=False,
+                      sel=sel, urand=urand)
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_x),
+                               rtol=2e-5, atol=2e-6)
+    _assert_tree_close(g_f, g_x, rtol=5e-4, atol=1e-5)
 
 
-def test_fused_culled_uncull_matches_xla_replay():
-    """Lane-parallel (cull=False) forward + fused backward == XLA replay
-    driven by the kernel's own recorded selections."""
+def test_fused_culled_matches_xla_replay_and_cull_invariant():
+    """Lane-parallel forward + fused backward: (a) cull=False == the XLA
+    replay driven by the kernel's own recorded selections, (b) culling
+    (Morton permutation + two-level AABB skip) changes neither color nor
+    any gradient. Two fused backward executions total."""
     pkt, cam, o, d, key, cfg = _tri_setup()
     _, sel_p, urand_p, perm = mk.trace_culled_sel(key, o, d, pkt, cfg,
                                                   cull=False, interpret=True)
@@ -120,69 +122,24 @@ def test_fused_culled_uncull_matches_xla_replay():
     B = cfg.max_depth
     sel = sel_p.reshape(4 * B, -1)[:, :R].reshape(B, 4, R)
     urand = urand_p.reshape(2 * B, -1)[:, :R]
-    params = sh.differentiable_params(pkt, cam)
 
-    def loss_fused(par):
-        pk, _ = sh._apply_params(par, pkt, cam)
-        c = fused_grad.trace_grad(key, o, d, pk, cfg, interpret=True,
-                                  force="culled")
-        return jnp.sum(c * _loss_weights(c)), c
-
-    def loss_xla(par):
-        pk, _ = sh._apply_params(par, pkt, cam)
-        c = path_replay.replay(o, d, sel, urand, pk, cfg, backend="xla")
-        return jnp.sum(c * _loss_weights(c)), c
-
-    (_, c_f), g_f = jax.value_and_grad(loss_fused, has_aux=True)(params)
-    (_, c_x), g_x = jax.value_and_grad(loss_xla, has_aux=True)(params)
-    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_x),
+    c_u, g_u = _grads(pkt, cam, o, d, key, cfg, fused=True, force="uncull")
+    c_x, g_x = _grads(pkt, cam, o, d, key, cfg, fused=False,
+                      sel=sel, urand=urand)
+    np.testing.assert_allclose(np.asarray(c_u), np.asarray(c_x),
                                rtol=2e-5, atol=2e-6)
-    for k in g_x:
-        np.testing.assert_allclose(
-            np.asarray(g_f[k]), np.asarray(g_x[k]),
-            rtol=5e-4, atol=1e-5, err_msg=k)
+    _assert_tree_close(g_u, g_x, rtol=5e-4, atol=2e-5)
 
-
-def test_fused_culled_perm_invariance():
-    """Culling (Morton permutation + AABB tile skip) changes neither the
-    color nor any parameter gradient — winners are winners."""
-    pkt, cam, o, d, key, cfg = _tri_setup()
-
-    def run(cull):
-        def loss(par):
-            pk, _ = sh._apply_params(par, pkt, cam)
-            sg = jax.lax.stop_gradient
-            pkt_d = jax.tree.map(sg, pk)
-            color, sel_p, urand_p, perm = mk.trace_culled_sel(
-                key, sg(o), sg(d), pkt_d, cfg, cull=cull, interpret=True)
-            table, T, sky6 = path_replay._build_table(pk)
-            if perm is not None:
-                table = jnp.concatenate([table[:T][perm], table[T:]], axis=0)
-            Ltot = sel_p.shape[2]
-            rays_p = fused_grad._pack_rays_planar(o, d, Ltot)
-            core = fused_grad._make_core(
-                cfg.max_depth, float(cfg.t_min), float(cfg.shadow_eps),
-                float(cfg.pdf_eps), int(T), int(o.shape[0]),
-                128 if Ltot % 128 == 0 else Ltot, True)
-            c = core(table, sky6, rays_p, sel_p, urand_p, color)
-            return jnp.sum(c * _loss_weights(c)), c
-
-        return jax.value_and_grad(loss, has_aux=True)(
-            sh.differentiable_params(pkt, cam))
-
-    (_, c_n), g_n = run(False)
-    (_, c_c), g_c = run(True)
-    np.testing.assert_allclose(np.asarray(c_c), np.asarray(c_n),
+    c_c, g_c = _grads(pkt, cam, o, d, key, cfg, fused=True, force="culled")
+    np.testing.assert_allclose(np.asarray(c_c), np.asarray(c_u),
                                rtol=1e-6, atol=1e-7)
-    for k in g_n:
-        np.testing.assert_allclose(
-            np.asarray(g_c[k]), np.asarray(g_n[k]),
-            rtol=1e-5, atol=1e-7, err_msg=k)
+    _assert_tree_close(g_c, g_u, rtol=1e-5, atol=1e-7)
 
 
 def test_fused_culled_fd_transform():
     """FD spot-check of a transform gradient on the triangle scene (the
-    BASELINE config-3/4 capability: differentiable triangle-scale scenes)."""
+    BASELINE config-3/4 capability: differentiable triangle-scale scenes).
+    One fused backward + two fused forwards."""
     pkt, cam, o, d, key, cfg = _tri_setup(w=8, h=8)
 
     def f(dy):
@@ -201,12 +158,12 @@ def test_fused_culled_fd_transform():
     assert abs(g) > 1e-5
 
 
-def test_trace_routes_through_fused(monkeypatch):
-    """integrator.trace grad_sweep='fused' uses the fused path for both
-    dense and triangle scenes (and produces finite grads)."""
+def test_trace_routes_through_fused():
+    """integrator.trace grad_sweep='fused' routes through the fused path
+    (dense here — cheap) and produces finite, nonzero grads."""
     from ptre_tpu.ops import integrator
 
-    pkt, cam, o, d, key, cfg = _tri_setup(w=8, h=8)
+    pkt, cam, o, d, key, cfg = _demo_setup(w=8, h=8, depth=2)
     cfg = RenderConfig(width=8, height=8, max_depth=2, grad_sweep="fused")
     assert integrator._grad_route(cfg, pkt) == "fused"
 

@@ -21,7 +21,7 @@ import pytest
 
 from ptre_tpu.models import demo
 from ptre_tpu.models import mesh as mg
-from ptre_tpu.models.scene import Model, Scene
+from ptre_tpu.models.scene import Material, MaterialKind, Model, Scene
 from ptre_tpu.ops import camera as cam_ops, path_replay, rng
 from ptre_tpu.ops.pallas import fused_grad, megakernel as mk
 from ptre_tpu.parallel import sharding as sh
@@ -52,6 +52,13 @@ def _tri_setup(w=12, h=8):
     scn.get_model("b").set_transforms(1.0, 0.0, (0.0, 0.5, 0.0))
     scn.add_model("g", Model("ground"))
     scn.get_model("g").set_transforms(10.0, 0.0, (0.0, -10.0, 0.0))
+    # diffuse ball: the reference default (triangles → emissive) has
+    # CONSTANT attenuation, so every geometry gradient would be exactly
+    # zero by construction — Oren-Nayar makes transform/vertex gradients
+    # observable (through the differentiable t/u/v/normal recompute)
+    diffuse = scn.add_material(Material(MaterialKind.OREN_NAYAR,
+                                        (0.6, 0.5, 0.4), 0.7))
+    scn.set_model_material("b", diffuse)
     pkt = scn.build_packet()
     cam = cam_ops.Camera.create(width=w, height=h)
     cfg = RenderConfig(width=w, height=h, max_depth=2)

@@ -29,7 +29,7 @@ from ptre_tpu.render import pathtracer as pt
 from ptre_tpu.utils.config import RenderConfig
 
 
-def _demo_setup(w=16, h=8, depth=3):
+def _demo_setup(w=16, h=8, depth=2):
     scn = demo.reference_demo_scene(12, 6)
     pkt = scn.build_packet()
     cam = cam_ops.Camera.create(width=w, height=h)

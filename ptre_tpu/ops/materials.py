@@ -78,26 +78,44 @@ def scatter(
     cos_weight = jnp.maximum(0.0, jnp.einsum("rk,rk->r", hit_n, wi))
 
     # --- oren_nayar BRDF value (`material.cu:20-41`) ----------------------
+    # Planar-projection form of the reference's azimuthal/polar angles:
+    # cos(phi_i - phi_o) from xy-plane projections instead of atan2, and
+    # sin(alpha)/tan(beta) from the cosines instead of arccos/sin/tan —
+    # mathematically identical for the physical inputs (the reference's phi
+    # are world-space atan2(w.y, w.x), same frame), transcendental-light,
+    # and, critically, gradient-safe: atan2(0, 0) has a NaN derivative,
+    # and rays scattered exactly along +-z (cube-face normals via the
+    # degenerate-pdf fallback) HIT that pole at 1080p x 64spp scale
+    # (found by tests/test_scale_1080p.py). Same double-where sqrt guards
+    # as the fused kernels (`ops/pallas/replay_kernel.py`), so the staged
+    # and fused paths are formula-identical.
     sigma = jnp.clip(mat_param, 0.0, 1.0)
     sigma2 = sigma * sigma
     A = 1.0 - 0.5 * sigma2 / (sigma2 + 0.33)
     B = 0.45 * sigma2 / (sigma2 + 0.09)
 
-    # arccos has an infinite derivative at 1; clamp just inside so gradients
-    # stay finite (value change ~4e-4 rad, far below float32 shading noise)
-    def safe_arccos0(x):
-        return jnp.arccos(jnp.clip(x, 0.0, 1.0 - 1e-7))
+    li_sq = wi[:, 0] ** 2 + wi[:, 1] ** 2
+    li = jnp.sqrt(jnp.where(li_sq > 0.0, li_sq, 1.0)) * (li_sq > 0.0)
+    lo_sq = wo[:, 0] ** 2 + wo[:, 1] ** 2
+    lo = jnp.sqrt(jnp.where(lo_sq > 0.0, lo_sq, 1.0)) * (lo_sq > 0.0)
+    ci = jnp.where(li > 1e-12, wi[:, 0] / jnp.where(li > 0, li, 1.0), 1.0)
+    si = jnp.where(li > 1e-12, wi[:, 1] / jnp.where(li > 0, li, 1.0), 0.0)
+    co = jnp.where(lo > 1e-12, wo[:, 0] / jnp.where(lo > 0, lo, 1.0), 1.0)
+    so = jnp.where(lo > 1e-12, wo[:, 1] / jnp.where(lo > 0, lo, 1.0), 0.0)
+    cos_dphi = ci * co + si * so
+    cos_to = jnp.clip(jnp.einsum("rk,rk->r", wo, hit_n), 0.0, 1.0)
+    cos_ti = jnp.clip(cos_weight, 0.0, 1.0)
+    # alpha = max(theta_i, theta_o) -> cos_alpha = min(cos_i, cos_o)
+    cos_a = jnp.minimum(cos_ti, cos_to)
+    cos_b = jnp.maximum(cos_ti, cos_to)
+    sin_a_sq = jnp.maximum(1.0 - cos_a * cos_a, 0.0)
+    sin_a = jnp.sqrt(jnp.where(sin_a_sq > 0.0, sin_a_sq, 1.0)) * (
+        sin_a_sq > 0.0)
+    tan_b_sq = jnp.maximum(1.0 - cos_b * cos_b, 0.0)
+    tan_b = jnp.sqrt(jnp.where(tan_b_sq > 0.0, tan_b_sq, 1.0)) * (
+        tan_b_sq > 0.0) / jnp.maximum(cos_b, 1e-6)
 
-    phi_o = jnp.arctan2(wo[:, 1], wo[:, 0])
-    phi_i = jnp.arctan2(wi[:, 1], wi[:, 0])
-    costheta_o = jnp.maximum(0.0, jnp.einsum("rk,rk->r", wo, hit_n))
-    theta_o = jnp.where(costheta_o > 1.0, 0.0, safe_arccos0(costheta_o))
-    costheta_i = jnp.maximum(0.0, jnp.einsum("rk,rk->r", wi, hit_n))
-    theta_i = jnp.where(costheta_i > 1.0, 0.0, safe_arccos0(costheta_i))
-    alpha = jnp.maximum(theta_i, theta_o)
-    beta = jnp.minimum(theta_i, theta_o)
-
-    coeff = A + B * jnp.cos(phi_i - phi_o) * jnp.sin(alpha) * jnp.tan(beta)
+    coeff = A + B * cos_dphi * sin_a * tan_b
     on_attenuation = mat_albedo * (coeff / pi)[:, None]
 
     # --- emissive (`material.cu:50-57`) -----------------------------------

@@ -34,7 +34,7 @@ def test_sharded_train_step_1080p_shapes():
     params = sh.differentiable_params(pkt, cam)
     target = jnp.zeros((H, W, 3), jnp.float32)
     loss, grads, _ = sh.shard_train_step(
-        mesh, params, pkt, cam, target, rng.key_for(0), cfg, spp=8)
+        mesh, params, pkt, cam, target, rng.key_for(0), cfg, spp=4)
     assert np.isfinite(float(loss))
     for k, g in grads.items():
         assert np.isfinite(np.asarray(g)).all(), k

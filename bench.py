@@ -172,8 +172,10 @@ def _bench_fwdbwd(W, H, steps, tri_scene=False):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--width", type=int, default=1920)
-    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--width", type=int, default=None,
+                   help="image width (default 1920, or 512 with --tri-scene)")
+    p.add_argument("--height", type=int, default=None,
+                   help="image height (default 1080, or 512 with --tri-scene)")
     p.add_argument("--spp", type=int, default=4, help="spp per forward step")
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--skip-bwd", action="store_true")
@@ -185,9 +187,11 @@ def main(argv=None):
                         "gradient path (see scripts/bench_tri.py for the "
                         "culling A/B)")
     args = p.parse_args(argv)
-    if args.tri_scene and "--width" not in (argv or sys.argv):
-        args.width = args.height = 512  # BASELINE config 3 shape
-    W, H = args.width, args.height
+    # defaults: 1080p demo scene, or BASELINE config 3's 512^2 for
+    # --tri-scene; an explicit --width/--height always wins
+    dw, dh = (512, 512) if args.tri_scene else (1920, 1080)
+    W = args.width if args.width is not None else dw
+    H = args.height if args.height is not None else dh
 
     extra = {}
     fwd = None

@@ -189,7 +189,7 @@ Mesh gen_cube() {  // mesh.cu:130-186
   return m;
 }
 
-Mesh gen_uv_sphere(int /*flat*/, uint32_t segments, uint32_t rings,
+Mesh gen_uv_sphere(int flat, uint32_t segments, uint32_t rings,
                    int32_t type) {  // mesh.cu:190-279
   Mesh m;
   m.type = type;
@@ -235,7 +235,42 @@ Mesh gen_uv_sphere(int /*flat*/, uint32_t segments, uint32_t rings,
   }
   m.indices.insert(m.indices.end(), {bottom_idx, 0, segments - 1});
   m.indices.insert(m.indices.end(), {top_idx, nv - 3, nv - segments - 2});
-  return m;
+  if (!flat) return m;
+
+  // flat-shaded variant: per-face outward normals with unshared vertices —
+  // the reference declares but never implements this (mesh.cu:198 TODO);
+  // same construction as the Python core (models/mesh.py uv_sphere(flat)).
+  Mesh f;
+  f.type = type;
+  const size_t n_faces = m.indices.size() / 3;
+  f.positions.reserve(n_faces * 3);
+  f.normals.reserve(n_faces * 3);
+  f.indices.reserve(n_faces * 3);
+  for (size_t fi = 0; fi < n_faces; fi++) {
+    const Vec3 a = m.positions[m.indices[3 * fi + 0]];
+    const Vec3 b = m.positions[m.indices[3 * fi + 1]];
+    const Vec3 c = m.positions[m.indices[3 * fi + 2]];
+    const Vec3 e1{b.x - a.x, b.y - a.y, b.z - a.z};
+    const Vec3 e2{c.x - a.x, c.y - a.y, c.z - a.z};
+    Vec3 n{e1.y * e2.z - e1.z * e2.y, e1.z * e2.x - e1.x * e2.z,
+           e1.x * e2.y - e1.y * e2.x};
+    // orient outward: away from the (origin-centered) sphere's center,
+    // tested against the face centroid
+    const Vec3 ctr{(a.x + b.x + c.x) / 3.0f, (a.y + b.y + c.y) / 3.0f,
+                   (a.z + b.z + c.z) / 3.0f};
+    const float d = n.x * ctr.x + n.y * ctr.y + n.z * ctr.z;
+    const float sign = d < 0.0f ? -1.0f : 1.0f;
+    const float len =
+        std::sqrt(n.x * n.x + n.y * n.y + n.z * n.z);
+    const float inv = sign / (len > 1e-20f ? len : 1e-20f);
+    n = {n.x * inv, n.y * inv, n.z * inv};
+    for (const Vec3& p : {a, b, c}) {
+      f.indices.push_back((uint32_t)f.positions.size());
+      f.positions.push_back(p);
+      f.normals.push_back(n);
+    }
+  }
+  return f;
 }
 
 struct Scene {

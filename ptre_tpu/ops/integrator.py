@@ -57,7 +57,13 @@ def _grad_route(config: RenderConfig, packet) -> str:
       kept for A/B validation; dense scenes only.
     * "staged" — per-bounce XLA sweep + autodiff; always available.
     """
-    from ptre_tpu.ops.pallas import megakernel
+    from ptre_tpu.ops.pallas import fused_grad, megakernel
+
+    def fused_ok():
+        # megakernel takes the scene AND the backward kernel's resident
+        # table + gradient accumulator fit the VMEM budget
+        return megakernel.supports(packet) and fused_grad.fits(
+            packet, config.max_depth)
 
     mode = config.grad_sweep
     if mode == "staged":
@@ -65,10 +71,9 @@ def _grad_route(config: RenderConfig, packet) -> str:
     if mode == "replay":
         return "replay" if megakernel.dense_supported(packet) else "staged"
     if mode == "fused":
-        return "fused" if megakernel.supports(packet) else "staged"
+        return "fused" if fused_ok() else "staged"
     # auto: fused on TPU whenever the megakernel takes the scene
-    if (jax.default_backend() in ("tpu", "axon")
-            and megakernel.supports(packet)):
+    if jax.default_backend() in ("tpu", "axon") and fused_ok():
         return "fused"
     return "staged"
 
@@ -153,13 +158,20 @@ def trace(key, origins, directions, packet, config: RenderConfig):
 
 
 def postprocess_sample(color, clamp: bool = True):
-    """Per-sample clamp to [0,1] + NaN scrub (`path_tracer.cu:345-353`).
+    """Per-sample clamp to [0,1] + non-finite scrub (`path_tracer.cu:345-353`).
 
     The reference clamps BEFORE accumulation (biasing bright emissive paths —
     preserved for parity) and then scrubs NaNs; its scrub ran after the
     accumulation add and was therefore ineffective — here the scrub is applied
     effectively (a conscious fix; with finite math NaNs should not occur).
+
+    The scrub zeroes every non-finite value in BOTH modes: in the unbiased
+    (``clamp=False``) HDR mode an ``inf`` sample must not enter the running
+    average — ``nan_to_num``'s default would substitute float32-max (3.4e38),
+    a finite-but-absurd value that silently poisons the accumulator forever.
+    Dropping the sample (zero) keeps the estimator usable; with finite math
+    the branch never fires.
     """
     if clamp:
         color = jnp.clip(color, 0.0, 1.0)
-    return jnp.nan_to_num(color, nan=0.0, posinf=0.0 if clamp else None, neginf=0.0)
+    return jnp.nan_to_num(color, nan=0.0, posinf=0.0, neginf=0.0)

@@ -53,6 +53,30 @@ _BWD_LANES = 128
 
 _G_PAD = 32  # 27 g rows padded to the f32 sublane tile
 
+#: VMEM budget for the backward kernel's resident state (table + gradient
+#: accumulator + scratch), leaving headroom of the ~16 MiB VMEM for the ray
+#: blocks and the in-kernel vjp's live values. `fits()` gates the fused
+#: route on this — scenes above it take the staged path instead of risking
+#: a Mosaic VMEM OOM at the top of `megakernel.supports()`'s range.
+_BWD_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _bwd_resident_bytes(n_rows: int, max_depth: int = 5) -> int:
+    """Resident VMEM bytes of the backward kernel for a unified table of
+    ``n_rows`` primitives: table + gradient accumulator (both
+    (n_tiles, 32, _TAB_TILE) f32) + the per-(bounce, sublane) g scratch."""
+    n_tiles = -(-n_rows // _TAB_TILE)
+    table_bytes = n_tiles * _G_PAD * _TAB_TILE * 4
+    g_scr_bytes = max_depth * 8 * _G_PAD * _BWD_LANES * 4
+    return 2 * table_bytes + g_scr_bytes
+
+
+def fits(packet, max_depth: int = 5) -> bool:
+    """Whether the fused backward kernel's resident state fits the VMEM
+    budget for this packet (callers fall back to the staged path)."""
+    n_rows = int(packet.tri_valid.shape[0]) + int(packet.sph_center.shape[0])
+    return _bwd_resident_bytes(n_rows, max_depth) <= _BWD_VMEM_BUDGET
+
 
 def _pack_table3(table, tile=_TAB_TILE):
     """(P, 27) unified table → (n_tiles, 32, tile) transposed-tiled VMEM
@@ -127,12 +151,17 @@ def _fused_bwd_kernel(
     # NaN-poisoning class is structurally impossible here)
     idxs, flags, urand = [], [], []
     for b in range(B):
-        use_sph = sel_ref[4 * b + 2] > 0.5
+        # mask BOTH flags with validf (matching `_replay_pallas_planar`):
+        # padded/invalid lanes must read as miss everywhere in the chain,
+        # not just in hitf — a raw use_sph row on a dead lane is a latent
+        # NaN hazard if the chain guards ever change
+        use_sphf = sel_ref[4 * b + 2] * validf
         hitf = sel_ref[4 * b + 3] * validf
-        idx = jnp.where(use_sph, jnp.float32(tri_rows) + sel_ref[4 * b + 1],
+        idx = jnp.where(use_sphf > 0.5,
+                        jnp.float32(tri_rows) + sel_ref[4 * b + 1],
                         sel_ref[4 * b + 0])
         idxs.append(jnp.where(hitf > 0.5, idx, -1.0))
-        flags.append((sel_ref[4 * b + 2], hitf))
+        flags.append((use_sphf, hitf))
         urand.append((ur_ref[2 * b], ur_ref[2 * b + 1]))
 
     lane_f = jax.lax.broadcasted_iota(jnp.int32, (tile, L), 0).astype(

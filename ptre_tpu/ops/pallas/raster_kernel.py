@@ -68,8 +68,8 @@ def _morton2_order(cx, cy, keep):
     """Screen-space Z-curve ordering of triangles by bbox center.
 
     Mesh index order groups triangles into RINGS (uv-sphere bands wrap all
-    the way around in x), so a 128-triangle chunk's union bbox is a wide
-    slab that overlaps most tiles in its rows — the chunk/tri bbox gates
+    the way around in x), so a `_TRI_CHUNK`-sized chunk's union bbox is a
+    wide slab that overlaps most tiles in its rows — the chunk/tri bbox gates
     barely cull. Sorting by 2D screen Morton code makes chunks spatially
     compact squares, so the existing scalar gates reject nearly everything
     (measured 36.9 -> ~8 ms/frame at 720p ss=2, no kernel change).
@@ -252,7 +252,7 @@ def _raster_kernel(
         @pl.when(chunk_hit)
         def _sweep_chunk():
             base = k * _TRI_CHUNK
-            blk_all = tri_ref[pl.dslice(base, _TRI_CHUNK), :]  # (128, 32)
+            blk_all = tri_ref[pl.dslice(base, _TRI_CHUNK), :]  # (_TRI_CHUNK, 32)
             rmins = []
             for r in range(_SUB):
                 py_r = ty0 + float(r) + 0.5  # scalar

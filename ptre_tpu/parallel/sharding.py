@@ -46,15 +46,74 @@ def make_mesh(shape: Optional[Tuple[int, int]] = None, devices=None) -> Mesh:
     return Mesh(dm, ("dp", "sp"))
 
 
+#: default dp row assignment. "strided" interleaves rows round-robin (chip i
+#: takes image rows i, i+dp, i+2dp, ...) so every chip sees the same mix of
+#: sky rows and geometry rows — contiguous "block" slabs concentrate the
+#: cheap sky rows (early-terminating paths) on some chips, and that load
+#: imbalance was the binding bound on the >=85% scaling north star (round-3
+#: VERDICT weak #4). Strided also lifts the height % dp == 0 restriction:
+#: the row space is padded to dp * ceil(H / dp) and pad rows are masked.
+ROW_ORDER_DEFAULT = "strided"
+
+
+def padded_height(height: int, dp_size: int) -> int:
+    """Sharded row-space height: dp * ceil(H / dp) (== H when dp | H)."""
+    return dp_size * (-(-height // dp_size))
+
+
 def _local_rows(cam: cam_ops.Camera, dp_size: int):
-    assert cam.height % dp_size == 0, (cam.height, dp_size)
-    return cam.height // dp_size
+    return padded_height(cam.height, dp_size) // dp_size
 
 
-def _sample_rows(key, packet, cam, config, y0, rows):
-    """One jittered sample for `rows` image rows starting at y0 → (rows*W, 3)."""
+def shard_row_ids(dp_i, rows: int, dp_size: int, row_order: str):
+    """Image-row indices owned by dp-chip ``dp_i`` (float32 (rows,));
+    strided → dp_i, dp_i+dp, ...; block → dp_i*rows .. dp_i*rows+rows-1.
+    Indices >= H are padding (rendered but masked/discarded)."""
+    ar = jnp.arange(rows, dtype=jnp.float32)
+    dp_f = jnp.asarray(dp_i, jnp.float32)
+    if row_order == "strided":
+        return dp_f + float(dp_size) * ar
+    return dp_f * float(rows) + ar
+
+
+def to_image_order(arr, dp_size: int, height: int,
+                   row_order: str = ROW_ORDER_DEFAULT):
+    """Shard-layout rows (Hpad, ...) → image order (height, ...).
+
+    The step functions keep accumulators/targets in SHARD layout: shard i
+    owns the contiguous slab [i*rows, (i+1)*rows) holding ITS image rows
+    (interleaved for "strided"). This is the one gather at display time the
+    strided assignment costs; for "block" it is a pure slice.
+    """
+    hp = arr.shape[0]
+    rows = hp // dp_size
+    if row_order == "strided":
+        # slab k of shard i holds image row k*dp + i
+        arr = arr.reshape((dp_size, rows) + arr.shape[1:])
+        arr = jnp.swapaxes(arr, 0, 1).reshape((hp,) + arr.shape[2:])
+    return arr[:height]
+
+
+def to_shard_order(img, dp_size: int, row_order: str = ROW_ORDER_DEFAULT):
+    """Image-order rows (H, ...) → shard layout (Hpad, ...), zero-padded."""
+    h = img.shape[0]
+    hp = padded_height(h, dp_size)
+    if hp != h:
+        img = jnp.concatenate(
+            [img, jnp.zeros((hp - h,) + img.shape[1:], img.dtype)], axis=0)
+    if row_order == "strided":
+        rows = hp // dp_size
+        img = img.reshape((rows, dp_size) + img.shape[1:])
+        img = jnp.swapaxes(img, 0, 1).reshape((hp,) + img.shape[2:])
+    return img
+
+
+def _sample_rows(key, packet, cam, config, y0, rows, stride: int = 1):
+    """One jittered sample for `rows` image rows y0, y0+stride, ... →
+    (rows*W, 3). ``stride=dp`` is the strided dp assignment; 1 = block."""
     py, px = jnp.meshgrid(
-        y0 + jnp.arange(rows, dtype=jnp.float32),
+        jnp.asarray(y0, jnp.float32)
+        + float(stride) * jnp.arange(rows, dtype=jnp.float32),
         jnp.arange(cam.width, dtype=jnp.float32),
         indexing="ij",
     )
@@ -65,6 +124,13 @@ def _sample_rows(key, packet, cam, config, y0, rows):
     return integrator.postprocess_sample(color, config.clamp_samples)
 
 
+def _row_start_stride(dp_i, rows: int, dp_size: int, row_order: str):
+    """(y0, stride) for `_sample_rows`/`raster_rows` under a row order."""
+    if row_order == "strided":
+        return dp_i.astype(jnp.float32), dp_size
+    return (dp_i * rows).astype(jnp.float32), 1
+
+
 def shard_render_step(
     mesh: Mesh,
     packet,
@@ -73,24 +139,31 @@ def shard_render_step(
     key,
     config: RenderConfig,
     spp: int = 1,
+    row_order: str = ROW_ORDER_DEFAULT,
 ):
     """Progressive render step sharded (rows over dp, samples over sp).
 
-    ``accum.linear`` is sharded over rows; the packet/camera are replicated.
-    Each chip accumulates its own rows; along ``sp`` each chip renders
-    spp/sp_size samples and the running averages are psum-averaged so the
-    result equals the single-chip running average over all spp samples (up to
-    sample ordering in the average, which the mean makes exact).
+    ``accum.linear`` is sharded over rows IN SHARD LAYOUT — its first
+    dimension is ``padded_height(H, dp)`` and shard i's slab holds the image
+    rows `shard_row_ids` assigns it (interleaved under the default
+    "strided" order; convert for display with `to_image_order`). The
+    packet/camera are replicated. Each chip accumulates its own rows; along
+    ``sp`` each chip renders spp/sp_size samples and the running averages
+    are psum-averaged so the result equals the single-chip running average
+    over all spp samples (up to sample ordering in the average, which the
+    mean makes exact).
     """
     dp, sp = mesh.shape["dp"], mesh.shape["sp"]
     assert spp % sp == 0, (spp, sp)
     local_spp = spp // sp
     rows = _local_rows(cam, dp)
+    assert accum.linear.shape[0] == rows * dp, (
+        accum.linear.shape, padded_height(cam.height, dp))
 
     def local_step(packet, linear, frame, key):
         dp_i = jax.lax.axis_index("dp")
         sp_i = jax.lax.axis_index("sp")
-        y0 = (dp_i * rows).astype(jnp.float32)
+        y0, stride = _row_start_stride(dp_i, rows, dp, row_order)
         lkey = rng.fold(key, dp_i * 131071 + sp_i)
 
         # chip-local progressive accumulation of local_spp samples starting
@@ -99,7 +172,7 @@ def shard_render_step(
             lin, n = carry
             n1 = n + 1
             skey = rng.fold(rng.fold(lkey, s), n1)
-            img = _sample_rows(skey, packet, cam, config, y0, rows)
+            img = _sample_rows(skey, packet, cam, config, y0, rows, stride)
             img = img.reshape(rows, cam.width, 3)
             n1f = n1.astype(jnp.float32)
             lin = img / n1f + lin * ((n1f - 1.0) / n1f)
@@ -166,27 +239,33 @@ def shard_train_step(
     config: RenderConfig,
     spp: int = 1,
     lr: float = 0.0,
+    row_order: str = ROW_ORDER_DEFAULT,
 ):
     """One forward+backward step: L2 image loss vs `target`, grads psum'd.
 
     Rows shard over dp, samples over sp; the scene is replicated so the only
     collectives are the loss/grad psums (overlappable with backward by XLA).
+    ``target`` must be in SHARD LAYOUT (`to_shard_order`) — shape
+    (padded_height(H, dp), W, 3); pad rows are masked out of the loss, so
+    the loss equals the image MSE over the true H rows exactly.
     Returns (loss, grads, new_params); ``lr`` > 0 also applies SGD.
     """
     dp, sp = mesh.shape["dp"], mesh.shape["sp"]
     assert spp % sp == 0
     local_spp = spp // sp
     rows = _local_rows(cam, dp)
+    n_valid = float(cam.height * cam.width * 3)  # global loss normalizer
 
     def local_loss(params, packet, target_rows, key):
         dp_i = jax.lax.axis_index("dp")
         sp_i = jax.lax.axis_index("sp")
-        y0 = (dp_i * rows).astype(jnp.float32)
+        y0, stride = _row_start_stride(dp_i, rows, dp, row_order)
         lkey = rng.fold(key, dp_i * 131071 + sp_i)
         pkt, lcam = _apply_params(params, packet, cam)
 
         def body(acc, s):
-            img = _sample_rows(rng.fold(lkey, s), pkt, lcam, config, y0, rows)
+            img = _sample_rows(rng.fold(lkey, s), pkt, lcam, config, y0, rows,
+                               stride)
             return acc + img.reshape(rows, cam.width, 3), None
 
         if local_spp == 1:
@@ -207,8 +286,14 @@ def shard_train_step(
                 jnp.arange(local_spp)
             )
         img = jax.lax.pmean(acc / local_spp, "sp")
-        # per-dp-shard MSE; the global image MSE is the dp-mean of these
-        return jnp.mean((img - target_rows) ** 2)
+        # masked sum of squared errors, scaled so the dp-mean of the
+        # per-chip terms is EXACTLY the global image MSE over the true H
+        # rows (pad rows from odd heights contribute zero); for dp | H this
+        # reduces to the per-shard mean
+        ys = y0 + float(stride) * jnp.arange(rows, dtype=jnp.float32)
+        mask = (ys < float(cam.height)).astype(jnp.float32)[:, None, None]
+        sse = jnp.sum(mask * (img - target_rows) ** 2)
+        return sse * (float(dp) / n_valid)
 
     def local_step(params, packet, target_rows, key):
         loss, grads = jax.value_and_grad(local_loss)(params, packet, target_rows, key)
@@ -238,8 +323,10 @@ def shard_train_step(
 
 
 def shard_raster_step(mesh: Mesh, packet, cam: cam_ops.Camera, config,
-                      soft: bool = False, sigma: float = 0.5):
-    """Rasterize with pixel rows sharded over the dp axis → (H, W, 3).
+                      soft: bool = False, sigma: float = 0.5,
+                      row_order: str = ROW_ORDER_DEFAULT):
+    """Rasterize with pixel rows sharded over the dp axis → SHARD-layout
+    (padded_height(H, dp), W, 3); convert with `to_image_order` for display.
 
     The z-buffer test is per-pixel, so rows are independent given the
     transformed triangles: every chip runs the identical (T-sized, cheap)
@@ -253,14 +340,13 @@ def shard_raster_step(mesh: Mesh, packet, cam: cam_ops.Camera, config,
     from ptre_tpu.render import rasterizer as rz
 
     dp = mesh.shape["dp"]
-    assert config.height % dp == 0, (config.height, dp)
-    rows = config.height // dp
+    rows = padded_height(config.height, dp) // dp
 
     def local(packet):
         dp_i = jax.lax.axis_index("dp")
-        y0 = (dp_i * rows).astype(jnp.float32)
+        y0, stride = _row_start_stride(dp_i, rows, dp, row_order)
         return rz.raster_rows(packet, cam, config, y0, rows, soft=soft,
-                              sigma=sigma)
+                              sigma=sigma, stride=stride)
 
     return jax.shard_map(
         local, mesh=mesh, in_specs=(P(),),
@@ -270,7 +356,8 @@ def shard_raster_step(mesh: Mesh, packet, cam: cam_ops.Camera, config,
 
 def dual_pipeline_step(mesh: Mesh, packet, raster_packet, cam: cam_ops.Camera,
                        accum: pt.AccumState, key, config: RenderConfig,
-                       raster_config, spp: int = 1):
+                       raster_config, spp: int = 1,
+                       row_order: str = ROW_ORDER_DEFAULT):
     """BASELINE config 5: rasterizer pass + path-traced pass over the SAME
     scene and camera, both row-sharded over the mesh.
 
@@ -278,20 +365,23 @@ def dual_pipeline_step(mesh: Mesh, packet, raster_packet, cam: cam_ops.Camera,
     (`renderer.cu:45-78`); here both run per frame: the z-buffer pass gives
     the instant preview frame, the path-traced pass advances the
     progressive accumulator. Returns (accum', raster_img), each sharded
-    over dp rows.
+    over dp rows in SHARD layout (`to_image_order` for display).
     """
-    accum = shard_render_step(mesh, packet, cam, accum, key, config, spp=spp)
-    raster = shard_raster_step(mesh, raster_packet, cam, raster_config)
+    accum = shard_render_step(mesh, packet, cam, accum, key, config, spp=spp,
+                              row_order=row_order)
+    raster = shard_raster_step(mesh, raster_packet, cam, raster_config,
+                               row_order=row_order)
     return accum, raster
 
 
 def dual_train_step(mesh: Mesh, params, packet, raster_packet,
                     cam: cam_ops.Camera, target, key, config: RenderConfig,
                     raster_config, spp: int = 1, raster_weight: float = 0.5,
-                    sigma: float = 0.5):
+                    sigma: float = 0.5, row_order: str = ROW_ORDER_DEFAULT):
     """Differentiable dual-pipeline step: L2 of the path-traced image plus
     L2 of the SOFT (differentiable) rasterizer image against the same
-    row-sharded target; gradients from BOTH pipelines psum-combined.
+    row-sharded target (SHARD layout, see `to_shard_order`); gradients
+    from BOTH pipelines psum-combined.
 
     The loss couples the pipelines through the shared parameters
     (transforms, camera): the rasterizer contributes silhouette-smooth
@@ -306,18 +396,20 @@ def dual_train_step(mesh: Mesh, params, packet, raster_packet,
     rows = _local_rows(cam, dp)
     assert config.height == raster_config.height
     assert config.width == raster_config.width
+    n_valid = float(cam.height * cam.width * 3)
 
     def local_loss(params, packet, raster_packet, target_rows, key):
         dp_i = jax.lax.axis_index("dp")
         sp_i = jax.lax.axis_index("sp")
-        y0 = (dp_i * rows).astype(jnp.float32)
+        y0, stride = _row_start_stride(dp_i, rows, dp, row_order)
         lkey = rng.fold(key, dp_i * 131071 + sp_i)
         pkt, lcam = _apply_params(params, packet, cam)
         # raster packet shares the transform/camera leaves
         rpkt = raster_packet.replace(transforms=params["transforms"])
 
         def body(acc, s):
-            img = _sample_rows(rng.fold(lkey, s), pkt, lcam, config, y0, rows)
+            img = _sample_rows(rng.fold(lkey, s), pkt, lcam, config, y0, rows,
+                               stride)
             return acc + img.reshape(rows, cam.width, 3), None
 
         if local_spp == 1:
@@ -330,9 +422,13 @@ def dual_train_step(mesh: Mesh, params, packet, raster_packet,
                 jnp.arange(local_spp))
         pt_img = jax.lax.pmean(acc / local_spp, "sp")
         rz_img = rz.raster_rows(rpkt, lcam, raster_config, y0, rows,
-                                soft=True, sigma=sigma)
-        pt_loss = jnp.mean((pt_img - target_rows) ** 2)
-        rz_loss = jnp.mean((rz_img - target_rows) ** 2)
+                                soft=True, sigma=sigma, stride=stride)
+        ys = y0 + float(stride) * jnp.arange(rows, dtype=jnp.float32)
+        mask = (ys < float(cam.height)).astype(jnp.float32)[:, None, None]
+        pt_loss = jnp.sum(mask * (pt_img - target_rows) ** 2) * (
+            float(dp) / n_valid)
+        rz_loss = jnp.sum(mask * (rz_img - target_rows) ** 2) * (
+            float(dp) / n_valid)
         return pt_loss + raster_weight * rz_loss
 
     def local_step(params, packet, raster_packet, target_rows, key):
@@ -349,7 +445,7 @@ def dual_train_step(mesh: Mesh, params, packet, raster_packet,
 
 
 def make_render_step(mesh: Mesh, cam: cam_ops.Camera, config: RenderConfig,
-                     spp: int = 1):
+                     spp: int = 1, row_order: str = ROW_ORDER_DEFAULT):
     """Build a jit-compiled sharded progressive render step.
 
     `shard_render_step` constructs its shard_map closure per call, so calling
@@ -361,13 +457,15 @@ def make_render_step(mesh: Mesh, cam: cam_ops.Camera, config: RenderConfig,
 
     @jax.jit
     def step(packet, accum: pt.AccumState, key) -> pt.AccumState:
-        return shard_render_step(mesh, packet, cam, accum, key, config, spp=spp)
+        return shard_render_step(mesh, packet, cam, accum, key, config,
+                                 spp=spp, row_order=row_order)
 
     return step
 
 
 def make_train_step(mesh: Mesh, cam: cam_ops.Camera, config: RenderConfig,
-                    spp: int = 1, lr: float = 0.0):
+                    spp: int = 1, lr: float = 0.0,
+                    row_order: str = ROW_ORDER_DEFAULT):
     """Build a jit-compiled sharded forward+backward step (see
     `make_render_step` for why). Returns
     ``step(params, packet, target, key) -> (loss, grads, new_params)``.
@@ -376,7 +474,7 @@ def make_train_step(mesh: Mesh, cam: cam_ops.Camera, config: RenderConfig,
     @jax.jit
     def step(params, packet, target, key):
         return shard_train_step(mesh, params, packet, cam, target, key,
-                                config, spp=spp, lr=lr)
+                                config, spp=spp, lr=lr, row_order=row_order)
 
     return step
 

@@ -182,15 +182,17 @@ def rasterize(
 
 
 def raster_rows(packet, cam, config: RasterConfig, y0, rows,
-                soft: bool = False, sigma: float = 0.5, row_chunk: int = 0):
-    """Rasterize a horizontal window of ``rows`` output rows starting at
-    output row ``y0`` → (rows, W, 3), supersampled + resolved.
+                soft: bool = False, sigma: float = 0.5, row_chunk: int = 0,
+                stride: int = 1):
+    """Rasterize ``rows`` output rows y0, y0+stride, ... → (rows, W, 3),
+    supersampled + resolved.
 
     Pixel rows are independent given the transformed triangles (the
     z-buffer test is per-pixel), which makes this the dp-sharding unit for
     the multi-chip rasterizer (`parallel.sharding.shard_raster_step`):
     every chip runs the identical (cheap, T-sized) vertex stage and
-    rasterizes only its own rows. ``y0`` may be traced (per-chip offset).
+    rasterizes only its own rows. ``y0`` may be traced (per-chip offset);
+    ``stride=dp`` is the interleaved (load-balanced) dp assignment.
     """
     ss = config.supersample
     W, H = config.width * ss, config.height * ss
@@ -211,8 +213,11 @@ def raster_rows(packet, cam, config: RasterConfig, y0, rows,
 
     Hw = rows * ss  # supersampled rows in this window
     xs = (jnp.arange(W, dtype=jnp.float32) + 0.5)
-    ys = (jnp.asarray(y0, jnp.float32) * ss
-          + jnp.arange(Hw, dtype=jnp.float32) + 0.5)
+    # output rows y0, y0+stride, ...; each contributes ss supersampled rows
+    out_rows = (jnp.asarray(y0, jnp.float32)
+                + float(stride) * jnp.arange(rows, dtype=jnp.float32))
+    ys = (out_rows[:, None] * ss
+          + jnp.arange(ss, dtype=jnp.float32)[None, :] + 0.5).reshape(-1)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
 
     def run_rows(rows_xy):

@@ -36,18 +36,31 @@ def test_shard_raster_matches_single_device():
     pkt, rpkt, cam, cfg, rcfg = _setup()
     mesh = sh.make_mesh((4, 2))
     img_sharded = sh.shard_raster_step(mesh, rpkt, cam, rcfg)
+    img = sh.to_image_order(img_sharded, 4, H)
     img_single = rz.rasterize(rpkt, cam, rcfg, backend="xla")
     np.testing.assert_allclose(
-        np.asarray(img_sharded), np.asarray(img_single), rtol=1e-6, atol=1e-6)
+        np.asarray(img), np.asarray(img_single), rtol=1e-6, atol=1e-6)
 
 
 def test_shard_raster_soft_matches_single_device():
     pkt, rpkt, cam, cfg, rcfg = _setup()
     mesh = sh.make_mesh((8, 1))
     img_sharded = sh.shard_raster_step(mesh, rpkt, cam, rcfg, soft=True)
+    img = sh.to_image_order(img_sharded, 8, H)
     img_single = rz.rasterize(rpkt, cam, rcfg, soft=True, backend="xla")
     np.testing.assert_allclose(
-        np.asarray(img_sharded), np.asarray(img_single), rtol=1e-6, atol=1e-6)
+        np.asarray(img), np.asarray(img_single), rtol=1e-6, atol=1e-6)
+
+
+def test_shard_raster_block_order_matches_single_device():
+    pkt, rpkt, cam, cfg, rcfg = _setup()
+    mesh = sh.make_mesh((4, 2))
+    img_sharded = sh.shard_raster_step(mesh, rpkt, cam, rcfg,
+                                       row_order="block")
+    img = sh.to_image_order(img_sharded, 4, H, row_order="block")
+    img_single = rz.rasterize(rpkt, cam, rcfg, backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(img_single), rtol=1e-6, atol=1e-6)
 
 
 def test_dual_pipeline_step_shapes_and_sky():
@@ -72,7 +85,8 @@ def test_dual_train_step_matches_unsharded():
     key = rng.key_for(3)
     spp = 2
     loss, grads = sh.dual_train_step(
-        mesh, params, pkt, rpkt, cam, target, key, cfg, rcfg, spp=spp)
+        mesh, params, pkt, rpkt, cam, sh.to_shard_order(target, 4), key, cfg,
+        rcfg, spp=spp)
     assert np.isfinite(float(loss))
     for k, g in grads.items():
         assert np.isfinite(np.asarray(g)).all(), k

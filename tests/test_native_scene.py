@@ -59,9 +59,11 @@ def test_mesh_generators_match_python(native):
     ns.add_mesh_cube("c")
     ns.add_mesh_reg_polygon("p", 7)
     ns.add_mesh_uv_sphere("s", False, 12, 6)
+    ns.add_mesh_uv_sphere("sf", True, 12, 6)  # flat-shaded variant
     ref = {
         "t": mg.tri(), "q": mg.quad(), "c": mg.cube(),
         "p": mg.reg_polygon(7), "s": mg.uv_sphere(False, 12, 6),
+        "sf": mg.uv_sphere(True, 12, 6),
     }
     for name, mesh in ref.items():
         pos, nrm, idx, ty = ns.get_mesh_arrays(name)

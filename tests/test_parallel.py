@@ -60,6 +60,8 @@ def test_shard_render_matches_single_device_emulation(scene_setup):
     key = rng.key_for(7)
     out = sh.shard_render_step(mesh, pkt, cam, accum, key, cfg, spp=4)
 
+    # emulate the default STRIDED row assignment: chip dp_i owns image rows
+    # dp_i, dp_i+4, ... and its shard slab stores them contiguously
     rows = H // 4
     local_spp = 4 // 2
     lin_full = np.zeros((H, W, 3), np.float32)
@@ -73,13 +75,19 @@ def test_shard_render_matches_single_device_emulation(scene_setup):
                 n += 1
                 skey = rng.fold(rng.fold(lkey, s), n)
                 img = np.asarray(
-                    sh._sample_rows(skey, pkt, cam, cfg, float(dp_i * rows), rows)
+                    sh._sample_rows(skey, pkt, cam, cfg, float(dp_i), rows, 4)
                 ).reshape(rows, W, 3)
                 nf = np.float32(n)
                 lin = (img / nf + lin * ((nf - 1.0) / nf)).astype(np.float32)
             per_sp.append(lin)
         lin_full[dp_i * rows : (dp_i + 1) * rows] = np.mean(per_sp, axis=0)
     np.testing.assert_allclose(np.asarray(out.linear), lin_full, atol=1e-5)
+    # to_image_order inverts the strided slab layout exactly: image row
+    # k*4 + dp_i comes from slab row dp_i*rows + k (a pure permutation)
+    img_order = np.asarray(sh.to_image_order(out.linear, 4, H))
+    lin_np = np.asarray(out.linear)
+    np.testing.assert_array_equal(img_order[5], lin_np[1 * rows + 1])
+    np.testing.assert_array_equal(img_order[14], lin_np[2 * rows + 3])
 
 
 def test_shard_train_step_grads_match_emulation(scene_setup):
@@ -99,6 +107,7 @@ def test_shard_train_step_grads_match_emulation(scene_setup):
     local_spp = 2 // 2
 
     def emu_loss(params):
+        # strided row assignment: chip dp_i renders image rows dp_i, dp_i+4…
         pkt2, cam2 = sh._apply_params(params, pkt, cam)
         total = 0.0
         for dp_i in range(4):
@@ -108,7 +117,7 @@ def test_shard_train_step_grads_match_emulation(scene_setup):
                 acc = jnp.zeros((rows, W, 3))
                 for s in range(local_spp):
                     acc = acc + sh._sample_rows(
-                        rng.fold(lkey, s), pkt2, cam2, cfg, float(dp_i * rows), rows
+                        rng.fold(lkey, s), pkt2, cam2, cfg, float(dp_i), rows, 4
                     ).reshape(rows, W, 3)
                 imgs.append(acc / local_spp)
             img = (imgs[0] + imgs[1]) / 2.0
@@ -125,6 +134,55 @@ def test_shard_train_step_grads_match_emulation(scene_setup):
         )
     # something is learnable
     assert any(float(jnp.abs(grads[k]).max()) > 1e-6 for k in grads)
+
+
+def test_strided_odd_height_render_and_train(scene_setup):
+    """Odd heights (H % dp != 0) work under the strided default: render
+    rows pad to dp*ceil(H/dp) and the train loss masks pad rows, so the
+    loss equals the exact image MSE over the true H rows."""
+    pkt, _, _ = scene_setup
+    Ho = 13
+    dp = 4
+    cam = cam_ops.Camera.create(width=W, height=Ho)
+    cfg = RenderConfig(width=W, height=Ho, clamp_samples=False)
+    mesh = sh.make_mesh((dp, 2))
+    hp = sh.padded_height(Ho, dp)
+    assert hp == 16
+
+    accum = pt.AccumState.create(hp, W)
+    out = sh.shard_render_step(mesh, pkt, cam, accum, rng.key_for(5), cfg,
+                               spp=2)
+    img = np.asarray(sh.to_image_order(out.linear, dp, Ho))
+    assert img.shape == (Ho, W, 3)
+    assert np.isfinite(img).all() and img.max() > 0.05
+
+    params = sh.differentiable_params(pkt, cam)
+    key = rng.key_for(6)
+    tgt_img = jnp.linspace(0, 1, Ho * W * 3).reshape(Ho, W, 3).astype(
+        jnp.float32)
+    loss, grads, _ = sh.shard_train_step(
+        mesh, params, pkt, cam, sh.to_shard_order(tgt_img, dp), key, cfg,
+        spp=2)
+    assert np.isfinite(float(loss))
+    for k, g in grads.items():
+        assert np.isfinite(np.asarray(g)).all(), k
+
+    # exact emulation: per-chip strided rows, pad rows masked, global MSE
+    rows = hp // dp
+    sse = 0.0
+    for dp_i in range(dp):
+        imgs = []
+        for sp_i in range(2):
+            lkey = rng.fold(key, dp_i * 131071 + sp_i)
+            imgs.append(np.asarray(sh._sample_rows(
+                rng.fold(lkey, 0), pkt, cam, cfg, float(dp_i), rows, dp
+            )).reshape(rows, W, 3))
+        img_c = (imgs[0] + imgs[1]) / 2.0
+        ys = dp_i + dp * np.arange(rows)
+        t = np.asarray(tgt_img)[np.minimum(ys, Ho - 1)]
+        mask = (ys < Ho).astype(np.float32)[:, None, None]
+        sse += float(np.sum(mask * (img_c - t) ** 2))
+    np.testing.assert_allclose(float(loss), sse / (Ho * W * 3), rtol=1e-5)
 
 
 def test_train_step_reduces_loss(scene_setup):

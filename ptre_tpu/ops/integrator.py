@@ -57,13 +57,14 @@ def _grad_route(config: RenderConfig, packet) -> str:
       kept for A/B validation; dense scenes only.
     * "staged" — per-bounce XLA sweep + autodiff; always available.
     """
-    from ptre_tpu.ops.pallas import fused_grad, megakernel
+    from ptre_tpu.ops.pallas import fused_grad, megakernel, wavefront
 
     def fused_ok():
-        # megakernel takes the scene AND the backward kernel's resident
-        # table + gradient accumulator fit the VMEM budget
-        return megakernel.supports(packet) and fused_grad.fits(
-            packet, config.max_depth)
+        # a fused forward exists (dense megakernel or wavefront) AND the
+        # backward kernel's resident table + gradient accumulator fit the
+        # VMEM budget
+        fwd = megakernel.dense_supported(packet) or wavefront.supports(packet)
+        return fwd and fused_grad.fits(packet, config.max_depth)
 
     mode = config.grad_sweep
     if mode == "staged":

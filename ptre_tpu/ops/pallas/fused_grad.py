@@ -353,8 +353,10 @@ def trace_grad(key, o, d, packet, config, interpret=None, force=None):
     (→ camera) — same detached-visibility estimator as `ops.path_replay`,
     with both the O(R*P) sweep AND the entire backward chain fused on-chip.
 
-    ``force``: None (auto: dense when supported), "dense", "culled", or
-    "uncull" (lane-parallel kernel with culling off — brute reference).
+    ``force``: None (auto: dense when supported, else the sorted wavefront
+    forward), "dense", "wavefront", "culled" (megakernel lane-parallel,
+    kept for A/B), or "uncull" (lane-parallel with culling off — brute
+    reference).
     """
     from ptre_tpu.ops.path_replay import _build_table
 
@@ -363,6 +365,7 @@ def trace_grad(key, o, d, packet, config, interpret=None, force=None):
     sg = jax.lax.stop_gradient
     pkt_d = jax.tree.map(sg, packet)
     R = o.shape[0]
+    B = config.max_depth
 
     dense = mk.dense_supported(packet) if force is None else (force == "dense")
     if dense:
@@ -370,10 +373,25 @@ def trace_grad(key, o, d, packet, config, interpret=None, force=None):
             key, sg(o), sg(d), pkt_d, config, interpret=interpret,
             planar="color", hw_rng=not interpret)
         perm = None
-    else:
+    elif force in ("culled", "uncull"):
         color, sel_p, urand_p, perm = mk.trace_culled_sel(
             key, sg(o), sg(d), pkt_d, config, cull=(force != "uncull"),
             interpret=interpret)
+    else:
+        # triangle-scale production forward: the sorted wavefront trace
+        # (ops.pallas.wavefront) recording per-bounce selections in
+        # original ray order; repack flat rows into the planar layout the
+        # fused backward consumes
+        from ptre_tpu.ops.pallas import wavefront as wf
+
+        color, sel, urand, perm = wf.trace(
+            key, sg(o), sg(d), pkt_d, config, record=True,
+            interpret=interpret)
+        block = 8 * _BWD_LANES
+        sel_p = mk._pad_to(sel.reshape(4 * B, R), block, axis=1)
+        sel_p = sel_p.reshape(4 * B, 8, sel_p.shape[1] // 8)
+        urand_p = mk._pad_to(urand, block, axis=1)
+        urand_p = urand_p.reshape(2 * B, 8, urand_p.shape[1] // 8)
 
     table, T, sky6 = _build_table(packet)
     if perm is not None:

@@ -154,9 +154,20 @@ def pack_raster_tris(packet, cam, config):
         ],
         axis=1,
     )
+    # sanitize DROPPED rows (valid=0, behind-camera w<=0, zero-area): their
+    # screen coords/depths/normals can be NaN/inf from the w-divide, and
+    # NaN poisons even masked arithmetic (0 * NaN = NaN) in both the z-test
+    # and the SoftRas coverage/softmax paths. Zero the payload and give
+    # them a never-hit bbox.
+    keep_rows = cols[:, 12] > 0.5
+    big = jnp.float32(3e38)
+    safe = jnp.zeros((1, 32), jnp.float32)
+    safe = safe.at[0, 23].set(big).at[0, 24].set(-big)
+    safe = safe.at[0, 25].set(big).at[0, 26].set(-big)
+    cols = jnp.where(keep_rows[:, None], cols, safe)
+
     # screen-space Z-curve sort → spatially compact chunks (see
     # `_morton2_order`); dead rows go last so trailing chunks are all-pad
-    keep_rows = cols[:, 12] > 0.5
     perm = _morton2_order((cols[:, 23] + cols[:, 24]) * 0.5,
                           (cols[:, 25] + cols[:, 26]) * 0.5, keep_rows)
     cols = cols[perm]

@@ -81,11 +81,20 @@ def sample_image(key, packet, cam, config: RenderConfig, ray_chunk: int = 0):
     origins, dirs = cam_ops.get_rays(cam, px, py, jitter)
 
     if _resolve_pipeline(config) == "fused":
-        from ptre_tpu.ops.pallas import megakernel
+        from ptre_tpu.ops.pallas import megakernel, wavefront
 
-        if megakernel.supports(packet):
+        if megakernel.dense_supported(packet):
             seed = jax.random.randint(rng.fold(key, 0x5EED), (), 0, 2**31 - 1)
             color = megakernel.trace_fused(seed, origins, dirs, packet, config)
+            return integrator.postprocess_sample(color, config.clamp_samples)
+        if wavefront.supports(packet):
+            # triangle-scale scenes: the sorted wavefront path — ties the
+            # culled megakernel on shallow scenes, 2.4x faster on deep-path
+            # (diffuse-mesh) scenes, and takes ~50% more triangles before
+            # the VMEM ceiling (docs/PERF.md round-4)
+            color = wavefront.trace(rng.fold(key, 0x5EED), origins, dirs,
+                                    packet, config,
+                                    tile_hint=(cam.height, cam.width))
             return integrator.postprocess_sample(color, config.clamp_samples)
         # unsupported packet (e.g. >8 materials or too many primitive
         # tiles): fall back to the staged pipeline rather than crash

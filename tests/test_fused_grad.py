@@ -28,6 +28,9 @@ from ptre_tpu.parallel import sharding as sh
 from ptre_tpu.render import pathtracer as pt
 from ptre_tpu.utils.config import RenderConfig
 
+# slow tier: interpret-mode fused-gradient kernels (run with `pytest -m slow`)
+pytestmark = pytest.mark.slow
+
 
 def _demo_setup(w=16, h=8, depth=2):
     scn = demo.reference_demo_scene(12, 6)

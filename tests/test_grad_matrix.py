@@ -22,6 +22,9 @@ from ptre_tpu.parallel import sharding as sh
 from ptre_tpu.render import pathtracer as pt
 from ptre_tpu.utils.config import RenderConfig
 
+# slow tier: full-matrix gradient checks (minutes of CPU autodiff) (run with `pytest -m slow`)
+pytestmark = pytest.mark.slow
+
 W = H = 8
 
 

@@ -15,6 +15,10 @@ from ptre_tpu.ops import camera as cam_ops, integrator, rng
 from ptre_tpu.ops.pallas import megakernel as mk
 from ptre_tpu.render import pathtracer as pt
 from ptre_tpu.utils.config import RenderConfig
+import pytest
+
+# slow tier: interpret-mode fused megakernel (run with `pytest -m slow`)
+pytestmark = pytest.mark.slow
 
 
 def _rays(cam):

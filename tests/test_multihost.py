@@ -21,6 +21,9 @@ from ptre_tpu.parallel import sharding as sh
 from ptre_tpu.render import pathtracer as pt
 from ptre_tpu.utils.config import RenderConfig
 
+# slow tier: real 2-process jax.distributed runs (~minutes on a shared host)
+pytestmark = pytest.mark.slow
+
 H = W = 16
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -12,6 +12,9 @@ from ptre_tpu.ops import camera as cam_ops, intersect as it
 from ptre_tpu.ops.pallas import intersect_kernel as pk
 from ptre_tpu.render import pathtracer as pt
 
+# slow tier: interpret-mode Pallas sweep kernel (run with `pytest -m slow`)
+pytestmark = pytest.mark.slow
+
 
 def _rays_for(scene_cam, n=None):
     cam = scene_cam

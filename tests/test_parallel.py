@@ -90,6 +90,7 @@ def test_shard_render_matches_single_device_emulation(scene_setup):
     np.testing.assert_array_equal(img_order[14], lin_np[2 * rows + 3])
 
 
+@pytest.mark.slow
 def test_shard_train_step_grads_match_emulation(scene_setup):
     pkt, cam, cfg0 = scene_setup
     cfg = RenderConfig(width=W, height=H, clamp_samples=False)

@@ -16,6 +16,10 @@ from ptre_tpu.ops import camera as cam_ops, path_replay, rng
 from ptre_tpu.ops.pallas import megakernel as mk
 from ptre_tpu.render import pathtracer as pt
 from ptre_tpu.utils.config import RenderConfig
+import pytest
+
+# slow tier: differentiable replay (interpret-mode core) (run with `pytest -m slow`)
+pytestmark = pytest.mark.slow
 
 
 def _scene_rays(w=24, h=16):

@@ -20,6 +20,9 @@ from ptre_tpu.ops.pallas import megakernel, render_kernel
 from ptre_tpu.render import pathtracer as pt
 from ptre_tpu.utils.config import RenderConfig
 
+# slow tier: interpret-mode whole-sample render kernel (run with `pytest -m slow`)
+pytestmark = pytest.mark.slow
+
 W, H = 128, 8
 
 

@@ -18,6 +18,10 @@ from ptre_tpu.ops.pallas import megakernel as mk
 from ptre_tpu.parallel import sharding as sh
 from ptre_tpu.render import pathtracer as pt
 from ptre_tpu.utils.config import RenderConfig
+import pytest
+
+# slow tier: interpret-mode replay chain kernel (run with `pytest -m slow`)
+pytestmark = pytest.mark.slow
 
 
 def _setup(w=24, h=16):

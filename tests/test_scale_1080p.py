@@ -1,12 +1,12 @@
-"""Opt-in 1080p-shape sharded train step on the virtual 8-device mesh.
+"""1080p-shape sharded train step on the virtual 8-device mesh (slow tier).
 
 VERDICT r2 #8: prove remat + shard_map + donation compose at BASELINE
 scale — one full `shard_train_step` at 1080p shapes with a multi-sample
-scan compiles and executes (slowly) on the CPU mesh. Opt in with
-PTRE_SCALE_TEST=1 (it takes minutes); the driver suite skips it.
+scan compiles and executes (slowly) on the CPU mesh. Part of the `slow`
+tier (run with `pytest -m slow`) — no env var needed (round-3 VERDICT
+weak #5: the test that caught the 1080p NaN-pole bug must be in a standard
+tier, not behind an opt-in flag).
 """
-
-import os
 
 import jax
 import jax.numpy as jnp
@@ -18,10 +18,9 @@ from ptre_tpu.ops import camera as cam_ops, rng
 from ptre_tpu.parallel import sharding as sh
 from ptre_tpu.utils.config import RenderConfig
 
+pytestmark = pytest.mark.slow
 
-@pytest.mark.skipif(os.environ.get("PTRE_SCALE_TEST") != "1",
-                    reason="opt-in: minutes-long 1080p CPU-mesh compile+run "
-                           "(set PTRE_SCALE_TEST=1)")
+
 def test_sharded_train_step_1080p_shapes():
     W, H = 1920, 1080
     scn = demo.reference_demo_scene(8, 4)

@@ -114,6 +114,11 @@ def _bench_fwdbwd(W, H, steps, tri_scene=False):
     px, py = pt.pixel_grid(H, W)
     params = sh.differentiable_params(pkt, cam)
 
+    # image-MSE objective (the training-step shape, r3 VERDICT weak #8):
+    # the per-pixel (H*W, 3) cotangent exercises the backward's real
+    # memory traffic, unlike a scalar mean-of-means
+    target = jnp.zeros((W * H, 3), jnp.float32)
+
     def loss(par, k, spp):
         pk, cm = sh._apply_params(par, pkt, cam)
 
@@ -124,20 +129,21 @@ def _bench_fwdbwd(W, H, steps, tri_scene=False):
             from ptre_tpu.ops import integrator
 
             c = integrator.trace(sk, o, d, pk, cfg)
-            return acc + jnp.mean(c), None
+            return acc + c, None
 
         if spp == 1:
             # no scan for one sample: a length-1 grad-of-scan materializes
             # every body intermediate as a while-loop residual (hard fusion
             # boundary) — measured 1.7x slower than the direct call
-            acc, _ = body(jnp.float32(0.0), 0)
-            return acc
+            acc, _ = body(jnp.zeros((W * H, 3), jnp.float32), 0)
+            return jnp.mean((acc - target) ** 2)
         # sample-level remat: without it the scan stores every sample's
         # bounce residuals (64 x ~2 GB at 1080p -> OOM); checkpointing
         # keeps one sample's residuals live at a time.
         body = jax.checkpoint(body)
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(spp))
-        return acc / spp
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((W * H, 3), jnp.float32), jnp.arange(spp))
+        return jnp.mean((acc / spp - target) ** 2)
 
     step = jax.jit(jax.value_and_grad(loss), static_argnums=2)
 

@@ -47,9 +47,12 @@ from ptre_tpu.ops.pallas import replay_kernel as rk
 #: table tile width (lanes) for the gather/scatter one-hot matmuls; the
 #: per-(tile, bounce) skip granularity
 _TAB_TILE = 128
-#: ray lanes per backward block (VMEM headroom for the in-kernel vjp with
-#: the resident table + gradient accumulator)
-_BWD_LANES = 128
+#: candidate ray-lane widths per backward block, widest first. The
+#: segmented (per-bounce checkpointed) in-kernel vjp keeps one bounce's
+#: chain live, so 256-384 lanes run spill-free (the r2/r3 monolithic vjp
+#: spilled above 128 — measured 4x slower then); 512 exceeds the VMEM
+#: block budget. Widest divisor wins: 439 -> 504 Mrays/s fwd+bwd at 1080p.
+_BWD_LANES = (384, 256, 128)
 
 _G_PAD = 32  # 27 g rows padded to the f32 sublane tile
 
@@ -67,7 +70,7 @@ def _bwd_resident_bytes(n_rows: int, max_depth: int = 5) -> int:
     (n_tiles, 32, _TAB_TILE) f32) + the per-(bounce, sublane) g scratch."""
     n_tiles = -(-n_rows // _TAB_TILE)
     table_bytes = n_tiles * _G_PAD * _TAB_TILE * 4
-    g_scr_bytes = max_depth * 8 * _G_PAD * _BWD_LANES * 4
+    g_scr_bytes = max_depth * 8 * _G_PAD * max(_BWD_LANES) * 4
     return 2 * table_bytes + g_scr_bytes
 
 
@@ -208,16 +211,47 @@ def _fused_bwd_kernel(
         for b in range(B)
     ]
 
-    # ---- in-kernel vjp of the shared replay chain -------------------------
+    # ---- segmented in-kernel vjp of the shared replay chain ---------------
+    # per-bounce jax.vjp against SAVED bounce-boundary states (in-kernel
+    # checkpointing): the monolithic whole-chain vjp keeps all 5 bounces'
+    # intermediates live, which spills vector registers above 128 lanes
+    # (r3 measured 4x slower at 256); bounding liveness to one bounce's
+    # chain lets wider blocks run spill-free. Each bounce's forward is
+    # recomputed once inside its vjp — ~1x extra chain FLOPs for ~5x less
+    # live state.
     sky_blk = tuple(
         jnp.full(shape, sky_ref[k], jnp.float32) for k in range(6))
 
-    def f(o, d, g, sky_blk):
-        return rk._chain(o, d, g, flags, urand, sky_blk, max_depth=B,
-                         t_min=t_min, shadow_eps=shadow_eps, pdf_eps=pdf_eps)
+    one = jnp.ones(shape, jnp.float32)
+    st = (tuple(o), tuple(d), (one, one, one))
+    act = one > 0.0
+    states = [(st, act)]
+    for b in range(B):
+        o_b, d_b, c_b, act = rk._chain_bounce(
+            st[0], st[1], st[2], act, g[b], flags[b], urand[b], sky_blk,
+            t_min=t_min, shadow_eps=shadow_eps, pdf_eps=pdf_eps)
+        st = (o_b, d_b, c_b)
+        states.append((st, act))
 
-    _, vjp = jax.vjp(f, o, d, g, sky_blk)
-    do, dd, dg, dsky = vjp((dcol_ref[0], dcol_ref[1], dcol_ref[2]))
+    zero3 = (jnp.zeros(shape, jnp.float32),) * 3
+    d_o, d_d = zero3, zero3
+    d_c = (dcol_ref[0], dcol_ref[1], dcol_ref[2])
+    dg = [None] * B
+    dsky = (jnp.zeros(shape, jnp.float32),) * 6
+    for b in reversed(range(B)):
+        (o_b, d_b, c_b), act_b = states[b]
+
+        def fb(o_, d_, c_, gb_, sky_, b=b, act_b=act_b):
+            o2, d2, c2, _ = rk._chain_bounce(
+                o_, d_, c_, act_b, gb_, flags[b], urand[b], sky_,
+                t_min=t_min, shadow_eps=shadow_eps, pdf_eps=pdf_eps)
+            return o2, d2, c2
+
+        _, vjpb = jax.vjp(fb, o_b, d_b, c_b, g[b], sky_blk)
+        d_o, d_d, d_c, dg_b, dsky_b = vjpb((d_o, d_d, d_c))
+        dg[b] = dg_b
+        dsky = tuple(a + bk for a, bk in zip(dsky, dsky_b))
+    do, dd = d_o, d_d
 
     for c in range(3):
         drays_ref[c] = do[c]
@@ -387,7 +421,8 @@ def trace_grad(key, o, d, packet, config, interpret=None, force=None):
         color, sel, urand, perm = wf.trace(
             key, sg(o), sg(d), pkt_d, config, record=True,
             interpret=interpret)
-        block = 8 * _BWD_LANES
+        # pad to the lane-width LCM so the widest backward block divides
+        block = 8 * 768
         sel_p = mk._pad_to(sel.reshape(4 * B, R), block, axis=1)
         sel_p = sel_p.reshape(4 * B, 8, sel_p.shape[1] // 8)
         urand_p = mk._pad_to(urand, block, axis=1)
@@ -402,10 +437,7 @@ def trace_grad(key, o, d, packet, config, interpret=None, force=None):
 
     Ltot = sel_p.shape[2]
     rays_p = _pack_rays_planar(o, d, Ltot)
-    # 128 lanes: wider blocks (256) spill the in-kernel vjp's live values
-    # (measured 4x slower at 1080p)
-    lanes = _BWD_LANES
-    assert Ltot % lanes == 0, (Ltot, lanes)
+    lanes = next(c for c in _BWD_LANES if Ltot % c == 0)
     core = _make_core(config.max_depth, float(config.t_min),
                       float(config.shadow_eps), float(config.pdf_eps),
                       int(T), int(R), lanes, bool(interpret))

@@ -49,31 +49,25 @@ _LANES = 256  # lane width per block (VMEM headroom for the in-kernel vjp)
 G_ROWS = 27  # v0(3) v1(3) v2(3) n0(3) n1(3) n2(3) c(3) r kind albedo(3) param
 
 
-def _chain(o, d, g, flags, urand, sky, *, max_depth, t_min, shadow_eps,
-           pdf_eps):
-    """The replay bounce chain on per-component blocks.
+def _chain_bounce(o, d, c, active, gb, flag_b, ur_b, sky, *, t_min,
+                  shadow_eps, pdf_eps):
+    """ONE bounce of the replay chain (pure function of its inputs).
 
-    Args:
-      o, d: lists of 3 (8, L) components each.
-      g: list of max_depth lists of G_ROWS (8, L) components.
-      flags: list of max_depth (use_sph, hit) pairs, (8, L) float blocks.
-      urand: list of max_depth (u1, u2) pairs.
-      sky: (skyb_r, skyb_g, skyb_b, skyt_r, skyt_g, skyt_b) — (8, L) blocks
-        or scalars.
-    Returns (cr, cg, cb).
+    ``active`` is the non-differentiable pre-bounce liveness mask; exposing
+    the per-bounce step lets the fused backward kernel checkpoint at bounce
+    boundaries (`fused_grad._fused_bwd_kernel`), bounding the in-kernel
+    vjp's live values to one bounce's intermediates.
+
+    Returns (o', d', c', next_active).
     """
     ox, oy, oz = o
     dx, dy, dz = d
-    one = jnp.ones_like(ox)
-    cr, cg, cb = one, one, one
-    active = one > 0.0
+    cr, cg, cb = c
     sbr, sbg, sbb, str_, stg, stb = sky
-
-    for b in range(max_depth):
-        gb = g[b]
-        use_sph = flags[b][0] > 0.5
-        hit = flags[b][1] > 0.5
-        u1, u2 = urand[b]
+    use_sph = flag_b[0] > 0.5
+    hit = flag_b[1] > 0.5
+    u1, u2 = ur_b
+    if True:
 
         # --- triangle attrs (mirror intersect.triangle_hit_attrs_t) -------
         v0x, v0y, v0z = gb[0], gb[1], gb[2]
@@ -230,9 +224,31 @@ def _chain(o, d, g, flags, urand, sky, *, max_depth, t_min, shadow_eps,
         dx = jnp.where(next_active, wix, dx)
         dy = jnp.where(next_active, wiy, dy)
         dz = jnp.where(next_active, wiz, dz)
-        active = next_active
 
-    return cr, cg, cb
+    return (ox, oy, oz), (dx, dy, dz), (cr, cg, cb), next_active
+
+
+def _chain(o, d, g, flags, urand, sky, *, max_depth, t_min, shadow_eps,
+           pdf_eps):
+    """The replay bounce chain on per-component blocks.
+
+    Args:
+      o, d: lists of 3 (8, L) components each.
+      g: list of max_depth lists of G_ROWS (8, L) components.
+      flags: list of max_depth (use_sph, hit) pairs, (8, L) float blocks.
+      urand: list of max_depth (u1, u2) pairs.
+      sky: (skyb_r, skyb_g, skyb_b, skyt_r, skyt_g, skyt_b) — (8, L) blocks
+        or scalars.
+    Returns (cr, cg, cb).
+    """
+    one = jnp.ones_like(o[0])
+    st_o, st_d, st_c = tuple(o), tuple(d), (one, one, one)
+    active = one > 0.0
+    for b in range(max_depth):
+        st_o, st_d, st_c, active = _chain_bounce(
+            st_o, st_d, st_c, active, g[b], flags[b], urand[b], sky,
+            t_min=t_min, shadow_eps=shadow_eps, pdf_eps=pdf_eps)
+    return st_c
 
 
 def _split_inputs(rays_ref, g_ref, flags_ref, urand_ref, sky_ref, max_depth):

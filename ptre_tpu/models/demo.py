@@ -76,3 +76,48 @@ def cornell_spheres_scene() -> Scene:
         2.0, (math.pi / 2.0, 0.0, 0.0), (0.0, 4.0, 0.5)
     )
     return scn
+
+
+def config3_scene(flat: bool = False, segments: int = 128,
+                  rings: int = 64, diffuse: bool = False) -> Scene:
+    """BASELINE config 3: a uv-sphere forced to TRIANGLES over an analytic
+    ground — the reference's known scaling cliff (`path_tracer.cu:263-282`;
+    README: "keep the vertex count low"). ``flat=True`` uses the
+    flat-shaded mesh variant (per-face normals — the reference's
+    `mesh.cu:198` TODO, implemented here); ``diffuse=True`` overrides the
+    reference's emissive triangle default with the Oren-Nayar material so
+    the normals actually shade (the flat/smooth goldens need this — an
+    emissive surface renders identically under either normal set)."""
+    scn = Scene()
+    scn.add_mesh("ball", mesh_gen.uv_sphere(
+        flat, segments, rings, mesh_type=mesh_gen.MeshType.TRIANGLES))
+    scn.add_mesh("ground", mesh_gen.uv_sphere(False, 16, 8))
+    scn.add_model("b", Model("ball"))
+    scn.get_model("b").set_transforms(1.0, 0.0, (0.0, 0.5, 0.0))
+    if diffuse:
+        scn.get_model("b").set_material(0)
+    scn.add_model("g", Model("ground"))
+    scn.get_model("g").set_transforms(10.0, 0.0, (0.0, -10.0, 0.0))
+    return scn
+
+
+def config4_mixed_scene(segments: int = 128, rings: int = 64) -> Scene:
+    """BASELINE config 4: mixed analytic-sphere + triangle-mesh scene —
+    a diffuse triangle uv-sphere, a cube mesh, an analytic sphere and the
+    analytic ground, exercising both primitive paths (and deep diffuse
+    paths) in one differentiable frame."""
+    scn = Scene()
+    scn.add_mesh("ball", mesh_gen.uv_sphere(
+        False, segments, rings, mesh_type=mesh_gen.MeshType.TRIANGLES))
+    scn.add_mesh("cube", mesh_gen.cube())
+    scn.add_mesh("sph", mesh_gen.uv_sphere(False, 16, 8))
+    scn.add_model("b", Model("ball"))
+    scn.get_model("b").set_transforms(1.0, 0.0, (-1.2, 0.5, 0.0))
+    scn.get_model("b").set_material(0)  # diffuse: deep paths, like the demo
+    scn.add_model("c", Model("cube"))
+    scn.get_model("c").set_transforms(1.2, (0.0, 0.6, 0.0), (1.4, 0.2, 0.6))
+    scn.add_model("s", Model("sph"))
+    scn.get_model("s").set_transforms(0.7, 0.0, (0.2, 0.2, 1.8))
+    scn.add_model("g", Model("sph"))
+    scn.get_model("g").set_transforms(10.0, 0.0, (0.0, -10.0, 0.0))
+    return scn

@@ -206,29 +206,25 @@ def _raster_kernel(
     tri_ref,  # VMEM (T_pad, 32): the WHOLE triangle table, resident
     out_ref,  # VMEM (3, 8, lanes) shaded tile
     zb_ref,  # scratch (8, lanes): z-buffer
-    nx_ref,  # scratch: perspective-correct normal numerators
-    ny_ref,
-    nz_ref,
-    den_ref,  # scratch: 1/w interpolation denominator
-    zc_ref,  # scratch (TRI_CHUNK, lanes): per-chunk candidate-z stash
+    wi_ref,  # scratch (8, lanes): winner GLOBAL triangle index (f32)
     oh_ref,  # scratch (TRI_CHUNK, 8*lanes): winner one-hots for all 8 rows
+    at_ref,  # scratch (32, 8*lanes): gathered winner attributes
     *,
     lanes: int,
 ):
     """Vectorized tile rasterizer: triangles on SUBLANES, pixels on lanes.
 
-    The round-2 kernel streamed 128-triangle chunks on a third grid
-    dimension and tested each triangle with scalar ops under a per-triangle
-    `pl.when` — at 720p that is ~14k grid-step visits of ~2 us machinery
-    plus 128 branchy scalar gates each, ~37 ms/frame of almost pure
-    overhead. Here the table is VMEM-resident, the grid is (row-tiles,
-    col-tiles) only, and each surviving chunk is evaluated with dense
-    vector work: 8-triangle sublane groups evaluate edge functions against
-    a (1, lanes) pixel row, the chunk's closest hit comes from a min
-    reduction (+ a second min for the LOWEST-index tie-break — the
-    reference's first-drawn-wins z-test, `rasterizer.cu:80`), and the
-    winner's 32 attributes are fetched with one one-hot MXU matmul, then
-    re-interpolated exactly.
+    The r3 kernel ran three passes per (chunk, row) — candidate z, tie
+    index, one-hot stash — plus a gather matmul per visited chunk. This
+    version keeps ONE pass per (chunk, row): a lexicographic (z, index)
+    closest-hit merge (identical winners: strict-< across chunks keeps the
+    earlier = lower Morton index, lowest index among in-chunk z-ties — the
+    reference's first-drawn-wins z-test, `rasterizer.cu:80`), recording
+    only (z, winner index) per pixel. Attribute gather is DEFERRED to one
+    post-loop pass over the [min, max] winner-index chunk range (a handful
+    of Morton-compact chunks per tile), with one one-hot MXU matmul per
+    range chunk for all 8 rows, then exact re-interpolation. 21.9 ->
+    ~2x less per-chunk work at 720p ss=2.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -237,10 +233,7 @@ def _raster_kernel(
     n_groups = _TRI_CHUNK // _SUB
 
     zb_ref[...] = jnp.full(shape, _FAR, jnp.float32)
-    nx_ref[...] = jnp.zeros(shape, jnp.float32)
-    ny_ref[...] = jnp.zeros(shape, jnp.float32)
-    nz_ref[...] = jnp.zeros(shape, jnp.float32)
-    den_ref[...] = jnp.ones(shape, jnp.float32)
+    wi_ref[...] = jnp.full(shape, _BIG_IDX, jnp.float32)
 
     # tile bounds in supersampled pixel space
     tx0 = (j * lanes).astype(jnp.float32)
@@ -250,7 +243,7 @@ def _raster_kernel(
 
     px = tx0 + jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1).astype(
         jnp.float32) + 0.5  # (1, L)
-    sub_f = jax.lax.broadcasted_iota(jnp.int32, (_SUB, lanes), 0).astype(
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (_SUB, lanes), 0).astype(
         jnp.float32)  # triangle sublane id within a group
 
     def chunk_body(k, carry):
@@ -264,11 +257,10 @@ def _raster_kernel(
         def _sweep_chunk():
             base = k * _TRI_CHUNK
             blk_all = tri_ref[pl.dslice(base, _TRI_CHUNK), :]  # (_TRI_CHUNK, 32)
-            rmins = []
-            for r in range(_SUB):
-                py_r = ty0 + float(r) + 0.5  # scalar
-                # --- pass 1: candidate z per triangle (groups of 8) -------
-                rmin = jnp.full((1, lanes), _FAR, jnp.float32)
+
+            def row_pass(r, py_r):
+                best_z = jnp.full((1, lanes), _FAR, jnp.float32)
+                best_i = jnp.full((1, lanes), _BIG_IDX, jnp.float32)
                 for g in range(n_groups):
                     blk = blk_all[g * _SUB:(g + 1) * _SUB, :]  # (8, 32)
                     c = lambda col: blk[:, col:col + 1]  # (8, 1)
@@ -283,82 +275,98 @@ def _raster_kernel(
                         & (z >= 0.0) & (z <= 1.0) & (c(12) > 0.5)
                     )
                     zc = jnp.where(covered, z, _FAR)
-                    zc_ref[g * _SUB:(g + 1) * _SUB, :] = zc
-                    rmin = jnp.minimum(
-                        rmin, jnp.min(zc, axis=0, keepdims=True))
+                    gmin = jnp.min(zc, axis=0, keepdims=True)
+                    # lowest sublane among in-group z-ties
+                    cand = jnp.where(zc == gmin, sub8, _BIG_IDX)
+                    gidx = (jnp.min(cand, axis=0, keepdims=True)
+                            + (base + g * _SUB).astype(jnp.float32))
+                    upd = (gmin < best_z) | ((gmin == best_z)
+                                             & (gidx < best_i))
+                    best_i = jnp.where(upd, gidx, best_i)
+                    best_z = jnp.where(upd, gmin, best_z)
 
-                # --- pass 2: lowest index among z-ties (first-wins) -------
-                imin = jnp.full((1, lanes), _BIG_IDX, jnp.float32)
-                for g in range(n_groups):
-                    zcg = zc_ref[g * _SUB:(g + 1) * _SUB, :]
-                    cand = jnp.where(zcg == rmin, sub_f + float(g * _SUB),
-                                     _BIG_IDX)
-                    imin = jnp.minimum(
-                        imin, jnp.min(cand, axis=0, keepdims=True))
-
-                # --- pass 3: stash the winner one-hot for this row --------
-                for g in range(n_groups):
-                    zcg = zc_ref[g * _SUB:(g + 1) * _SUB, :]
-                    oh_ref[g * _SUB:(g + 1) * _SUB,
-                           r * lanes:(r + 1) * lanes] = (
-                        (zcg == rmin) & ((sub_f + float(g * _SUB)) == imin)
-                    ).astype(jnp.float32)
-                rmins.append(rmin)
-
-            # --- winner gather: ONE MXU matmul for all 8 pixel rows -------
-            # (8 per-row (32, L) matmuls are latency-bound: measured
-            # 21.9 -> ~8 ms/frame batching them)
-            attrs_all = jax.lax.dot_general(
-                blk_all, oh_ref[...], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (32, 8*L)
-
-            for r in range(_SUB):
-                py_r = ty0 + float(r) + 0.5
-                rmin = rmins[r]
-                attrs = attrs_all[:, r * lanes:(r + 1) * lanes]
-                # re-interpolate the winner exactly (same algebra as pass 1)
-                a = lambda col: attrs[col:col + 1, :]
-                w0 = ((a(2) - px) * (a(5) - py_r)
-                      - (a(4) - px) * (a(3) - py_r)) * a(22)
-                w1 = ((a(4) - px) * (a(1) - py_r)
-                      - (a(0) - px) * (a(5) - py_r)) * a(22)
-                w2 = 1.0 - w0 - w1
-                den = w0 * a(9) + w1 * a(10) + w2 * a(11)
-                nnx = w0 * a(13) + w1 * a(16) + w2 * a(19)
-                nny = w0 * a(14) + w1 * a(17) + w2 * a(20)
-                nnz = w0 * a(15) + w1 * a(18) + w2 * a(21)
-
-                # --- z-buffer LESS merge vs earlier chunks ----------------
-                # strict < keeps the earlier (lower-sorted-index) chunk on
-                # ties, matching the in-chunk rule
+                # z-buffer LESS merge vs earlier chunks (strict < keeps the
+                # earlier = lower-sorted-index chunk on ties)
                 zb = zb_ref[r:r + 1, :]
-                upd = rmin < zb
-                zb_ref[r:r + 1, :] = jnp.where(upd, rmin, zb)
-                nx_ref[r:r + 1, :] = jnp.where(upd, nnx, nx_ref[r:r + 1, :])
-                ny_ref[r:r + 1, :] = jnp.where(upd, nny, ny_ref[r:r + 1, :])
-                nz_ref[r:r + 1, :] = jnp.where(upd, nnz, nz_ref[r:r + 1, :])
-                den_ref[r:r + 1, :] = jnp.where(upd, den, den_ref[r:r + 1, :])
+                upd = best_z < zb
+                zb_ref[r:r + 1, :] = jnp.where(upd, best_z, zb)
+                wi_ref[r:r + 1, :] = jnp.where(upd, best_i,
+                                               wi_ref[r:r + 1, :])
 
+            # (a per-row bbox `pl.when` gate was tried here — r3 PERF.md's
+            # "win gating" rung — and measured SLOWER: even scalar-condition
+            # branches cost more than the skipped row pass on this chip)
+            for r in range(_SUB):
+                row_pass(r, ty0 + float(r) + 0.5)
         return carry
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
-    # perspective-correct normal + HLSL ambient/diffuse (pixel_shader.hlsl)
-    inv_den = 1.0 / jnp.where(den_ref[...] == 0.0, 1.0, den_ref[...])
-    nx = nx_ref[...] * inv_den
-    ny = ny_ref[...] * inv_den
-    nz = nz_ref[...] * inv_den
-    nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-    ninv = jnp.where(nlen > 0.0, 1.0 / jnp.where(nlen > 0.0, nlen, 1.0),
-                     0.0)
-    nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
-    diffuse = jnp.maximum(
-        -(nx * scal_ref[6] + ny * scal_ref[7] + nz * scal_ref[8]), 0.0
-    )
+    # ---- deferred winner gather: one one-hot matmul per chunk in the ----
+    # [min, max] winner-index range (Morton-compact winners span only a
+    # few chunks per tile), then exact re-interpolation + HLSL shade
     hit = zb_ref[...] < _FAR
+    hit_f = hit.astype(jnp.float32)
+
+    # clear / sky first; shaded pixels overwritten below
     for c in range(3):
-        shaded = (scal_ref[c] + diffuse) * scal_ref[3 + c]
-        out_ref[c] = jnp.where(hit, shaded, scal_ref[9 + c])
+        out_ref[c] = jnp.full(shape, scal_ref[9 + c], jnp.float32)
+
+    @pl.when(jnp.max(hit_f) > 0.5)
+    def _gather_and_shade():
+        wlo = jnp.where(hit, wi_ref[...], _BIG_IDX)
+        whi = jnp.where(hit, wi_ref[...], -1.0)
+        lo_c = jnp.min(wlo).astype(jnp.int32) // _TRI_CHUNK
+        hi_c = jnp.max(whi).astype(jnp.int32) // _TRI_CHUNK
+
+        at_ref[...] = jnp.zeros_like(at_ref)
+
+        def gather_chunk(k, carry):
+            base = k * _TRI_CHUNK
+            blk_all = tri_ref[pl.dslice(base, _TRI_CHUNK), :]
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (_TRI_CHUNK, lanes), 0).astype(jnp.float32)
+            for r in range(_SUB):
+                oh_ref[:, r * lanes:(r + 1) * lanes] = (
+                    ((rows + base.astype(jnp.float32)) == wi_ref[r:r + 1, :])
+                    .astype(jnp.float32) * hit_f[r:r + 1, :])
+            at_ref[...] = at_ref[...] + jax.lax.dot_general(
+                blk_all, oh_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (32, 8*L)
+            return carry
+
+        jax.lax.fori_loop(lo_c, hi_c + 1, gather_chunk, 0)
+
+        for r in range(_SUB):
+            py_r = ty0 + float(r) + 0.5
+            attrs = at_ref[:, r * lanes:(r + 1) * lanes]
+            # re-interpolate the winner exactly (same algebra as the sweep)
+            a = lambda col: attrs[col:col + 1, :]
+            w0 = ((a(2) - px) * (a(5) - py_r)
+                  - (a(4) - px) * (a(3) - py_r)) * a(22)
+            w1 = ((a(4) - px) * (a(1) - py_r)
+                  - (a(0) - px) * (a(5) - py_r)) * a(22)
+            w2 = 1.0 - w0 - w1
+            den = w0 * a(9) + w1 * a(10) + w2 * a(11)
+            nnx = w0 * a(13) + w1 * a(16) + w2 * a(19)
+            nny = w0 * a(14) + w1 * a(17) + w2 * a(20)
+            nnz = w0 * a(15) + w1 * a(18) + w2 * a(21)
+            inv_den = 1.0 / jnp.where(den == 0.0, 1.0, den)
+            nx = nnx * inv_den
+            ny = nny * inv_den
+            nz = nnz * inv_den
+            nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+            ninv = jnp.where(
+                nlen > 0.0, 1.0 / jnp.where(nlen > 0.0, nlen, 1.0), 0.0)
+            nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+            diffuse = jnp.maximum(
+                -(nx * scal_ref[6] + ny * scal_ref[7] + nz * scal_ref[8]),
+                0.0)
+            hr = hit[r:r + 1, :]
+            for c in range(3):
+                shaded = (scal_ref[c] + diffuse) * scal_ref[3 + c]
+                out_ref[c, r:r + 1, :] = jnp.where(
+                    hr, shaded, scal_ref[9 + c])
 
 
 @functools.partial(
@@ -377,9 +385,9 @@ def _raster_call(scalars, cbox, tris, height_ss, width_ss, lanes,
         out_specs=pl.BlockSpec((3, _SUB, lanes), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, height_ss, width_ss), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((_SUB, lanes), jnp.float32)] * 5
-        + [pltpu.VMEM((_TRI_CHUNK, lanes), jnp.float32),
-           pltpu.VMEM((_TRI_CHUNK, _SUB * lanes), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((_SUB, lanes), jnp.float32)] * 2
+        + [pltpu.VMEM((_TRI_CHUNK, _SUB * lanes), jnp.float32),
+           pltpu.VMEM((32, _SUB * lanes), jnp.float32)],
         interpret=interpret,
     )(scalars, cbox, tris)
     return out

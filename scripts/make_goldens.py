@@ -73,6 +73,28 @@ GOLDENS = {
     "demo_raster.ppm": lambda: render_raster(
         demo.reference_demo_scene(16, 8), {}, 64, 36,
     ),
+    # BASELINE config 3 (test scale): triangle-forced uv-sphere, smooth
+    # normals (the reference scaling-cliff scene)
+    "config3_trimesh_smooth.ppm": lambda: render_pt(
+        demo.config3_scene(flat=False, segments=24, rings=12, diffuse=True), {},
+        dict(width=64, height=64, max_depth=5), spp=4, seed=33,
+    ),
+    # config 3, FLAT-shaded variant (per-face normals; mesh.cu:198 TODO)
+    "config3_trimesh_flat.ppm": lambda: render_pt(
+        demo.config3_scene(flat=True, segments=24, rings=12, diffuse=True), {},
+        dict(width=64, height=64, max_depth=5), spp=4, seed=33,
+    ),
+    # BASELINE config 4 (test scale): mixed analytic + mesh scene,
+    # perspective and orthographic cameras
+    "config4_mixed_persp.ppm": lambda: render_pt(
+        demo.config4_mixed_scene(segments=24, rings=12), {},
+        dict(width=64, height=64, max_depth=5), spp=4, seed=44,
+    ),
+    "config4_mixed_ortho.ppm": lambda: render_pt(
+        demo.config4_mixed_scene(segments=24, rings=12),
+        dict(projection=cam_ops.ORTHOGRAPHIC),
+        dict(width=64, height=64, max_depth=5), spp=4, seed=44,
+    ),
 }
 
 

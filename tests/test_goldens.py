@@ -30,6 +30,10 @@ def _golden_cases():
     "demo_pt.ppm",
     "demo_ortho.ppm",
     "demo_raster.ppm",
+    "config3_trimesh_smooth.ppm",
+    "config3_trimesh_flat.ppm",
+    "config4_mixed_persp.ppm",
+    "config4_mixed_ortho.ppm",
 ])
 def test_golden(name):
     path = os.path.join(GOLDEN_DIR, name)

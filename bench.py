@@ -38,33 +38,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _tri_scene():
-    """BASELINE config 3: uv_sphere(128, 64) forced TRIANGLES (~16k tris) on
-    a sphere ground — the reference's known scaling cliff
-    (`path_tracer.cu:263-282`), routed to the culled lane-parallel kernel."""
-    from ptre_tpu.models import mesh as mg
-    from ptre_tpu.models.scene import Model, Scene
+def _scene(kind):
+    """Benchmark scenes: "demo" (reference demo), "tri" (BASELINE config 3:
+    uv_sphere(128, 64) forced TRIANGLES, ~16k tris — the reference's known
+    scaling cliff, `path_tracer.cu:263-282`), "mixed" (BASELINE config 4:
+    mixed analytic + ~16k-tri mesh scene with deep diffuse paths)."""
+    from ptre_tpu.models import demo
 
-    scn = Scene()
-    scn.add_mesh("ball", mg.uv_sphere(False, 128, 64,
-                                      mesh_type=mg.MeshType.TRIANGLES))
-    scn.add_mesh("ground", mg.uv_sphere(False, 16, 8))
-    scn.add_model("b", Model("ball"))
-    scn.get_model("b").set_transforms(1.0, 0.0, (0.0, 0.5, 0.0))
-    scn.add_model("g", Model("ground"))
-    scn.get_model("g").set_transforms(10.0, 0.0, (0.0, -10.0, 0.0))
-    return scn
+    if kind == "tri":
+        return demo.config3_scene(segments=128, rings=64)
+    if kind == "mixed":
+        return demo.config4_mixed_scene(segments=128, rings=64)
+    return demo.reference_demo_scene(32, 16)
 
 
-def _bench_forward(W, H, spp, steps, tri_scene=False):
+def _bench_forward(W, H, spp, steps, scene="demo"):
     import jax
 
-    from ptre_tpu.models import demo
     from ptre_tpu.ops import camera as cam_ops, rng
     from ptre_tpu.render import pathtracer as pt
     from ptre_tpu.utils.config import RenderConfig
 
-    scn = _tri_scene() if tri_scene else demo.reference_demo_scene(32, 16)
+    scn = _scene(scene)
     pkt = scn.build_packet()
     cam = cam_ops.Camera.create(width=W, height=H)
     cfg = RenderConfig(width=W, height=H)
@@ -91,7 +86,7 @@ def _bench_forward(W, H, spp, steps, tri_scene=False):
     return rays / dt / 1e6
 
 
-def _bench_fwdbwd(W, H, steps, tri_scene=False):
+def _bench_fwdbwd(W, H, steps, scene="demo"):
     """Forward+backward Mrays/s: one value_and_grad train step per sample,
     gradients w.r.t. all differentiable params, fully-fused gradient path
     (`ops/pallas/fused_grad.py`). Asserts every gradient leaf is finite at
@@ -100,13 +95,12 @@ def _bench_fwdbwd(W, H, steps, tri_scene=False):
     import jax.numpy as jnp
     import numpy as np
 
-    from ptre_tpu.models import demo
     from ptre_tpu.ops import camera as cam_ops, path_replay, rng
     from ptre_tpu.parallel import sharding as sh
     from ptre_tpu.render import pathtracer as pt
     from ptre_tpu.utils.config import RenderConfig
 
-    scn = _tri_scene() if tri_scene else demo.reference_demo_scene(32, 16)
+    scn = _scene(scene)
     pkt = scn.build_packet()
     cam = cam_ops.Camera.create(width=W, height=H)
     cfg = RenderConfig(width=W, height=H)
@@ -152,14 +146,55 @@ def _bench_fwdbwd(W, H, steps, tri_scene=False):
     # "512^2 @ 64spp" for the triangle scene); warm up first so t64 is
     # execution, not compile
     spp64 = 64
-    _, grads = step(params, key, spp64)
-    for k2, v in grads.items():
-        assert np.isfinite(np.asarray(v)).all(), (
-            f"non-finite gradient leaf {k2!r} at {W}x{H} spp={spp64}")
-    t0 = time.perf_counter()
-    _, grads = step(params, rng.fold(key, 0x64), spp64)
-    float(jax.tree.leaves(grads)[0].sum())
-    t64 = time.perf_counter() - t0
+    if scene == "mixed":
+        # config 4's literal 1080p/64spp shape exceeds worker memory as one
+        # monolithic remat'd scan (the 16k-tri wavefront residuals are ~10x
+        # the demo's). The EXACT same gradient with O(1-sample) memory: a
+        # forward pass for the 64-sample mean image M, then one
+        # fixed-cotangent vjp per sample (dL/dtheta = sum_s cot . dI_s/
+        # dtheta with cot = 2(M-T)/(N*64)) — validated == the unrolled
+        # monolithic gradient to float precision on the chip.
+        def sample_img(par, k):
+            pk, cm = sh._apply_params(par, pkt, cam)
+            jit = rng.pixel_jitter(rng.fold(k, 0x9E37), (px.shape[0],))
+            o, d = cam_ops.get_rays(cm, px, py, jit)
+            from ptre_tpu.ops import integrator
+
+            return integrator.trace(k, o, d, pk, cfg)
+
+        fwd1 = jax.jit(sample_img)
+        lin = jax.jit(jax.grad(
+            lambda par, k, c: jnp.vdot(sample_img(par, k), c)))
+        # warmup/compile both stages
+        k64 = rng.fold(key, 0x64)
+        m_img = fwd1(params, rng.fold(k64, 0))
+        _ = lin(params, rng.fold(k64, 0), target)
+        jax.block_until_ready(m_img)
+        t0 = time.perf_counter()
+        m_img = jnp.zeros((W * H, 3), jnp.float32)
+        for s in range(spp64):
+            m_img = m_img + fwd1(params, rng.fold(k64, s))
+        m_img = m_img / spp64
+        cot = 2.0 * (m_img - target) / (target.size * spp64)
+        grads = None
+        for s in range(spp64):
+            gs = lin(params, rng.fold(k64, s), cot)
+            grads = gs if grads is None else jax.tree.map(
+                jnp.add, grads, gs)
+        float(jax.tree.leaves(grads)[0].sum())
+        t64 = time.perf_counter() - t0
+        for k2, v in grads.items():
+            assert np.isfinite(np.asarray(v)).all(), (
+                f"non-finite gradient leaf {k2!r} at {W}x{H} 64spp two-pass")
+    else:
+        _, grads = step(params, key, spp64)
+        for k2, v in grads.items():
+            assert np.isfinite(np.asarray(v)).all(), (
+                f"non-finite gradient leaf {k2!r} at {W}x{H} spp={spp64}")
+        t0 = time.perf_counter()
+        _, grads = step(params, rng.fold(key, 0x64), spp64)
+        float(jax.tree.leaves(grads)[0].sum())
+        t64 = time.perf_counter() - t0
 
     # sustained throughput at spp=1 per step (same per-ray work)
     _, grads = step(params, rng.fold(key, 1), 1)
@@ -188,10 +223,13 @@ def main(argv=None):
     p.add_argument("--skip-fwd", action="store_true")
     p.add_argument("--tri-scene", action="store_true",
                    help="bench BASELINE config 3 (~16k-tri scene at 512^2) "
-                        "instead of the demo scene — forward via the culled "
-                        "lane-parallel kernel AND fwd+bwd via the fused "
-                        "gradient path (see scripts/bench_tri.py for the "
-                        "culling A/B)")
+                        "instead of the demo scene — forward AND fwd+bwd "
+                        "via the sorted wavefront + fused gradient path "
+                        "(see scripts/bench_tri.py for the culling A/B)")
+    p.add_argument("--mixed-scene", action="store_true",
+                   help="bench BASELINE config 4 at its literal shape: the "
+                        "mixed analytic+mesh ~16k-tri scene, 1080p, with "
+                        "the one-shot 64-spp differentiable step")
     args = p.parse_args(argv)
     # defaults: 1080p demo scene, or BASELINE config 3's 512^2 for
     # --tri-scene; an explicit --width/--height always wins
@@ -199,21 +237,21 @@ def main(argv=None):
     W = args.width if args.width is not None else dw
     H = args.height if args.height is not None else dh
 
+    scene = ("tri" if args.tri_scene
+             else "mixed" if args.mixed_scene else "demo")
     extra = {}
     fwd = None
     if not args.skip_fwd:
-        fwd = _bench_forward(W, H, args.spp, args.steps,
-                             tri_scene=args.tri_scene)
+        fwd = _bench_forward(W, H, args.spp, args.steps, scene=scene)
     if not args.skip_bwd:
-        fb, fb64 = _bench_fwdbwd(W, H, args.steps,
-                                 tri_scene=args.tri_scene)
+        fb, fb64 = _bench_fwdbwd(W, H, args.steps, scene=scene)
         extra["fwdbwd_mrays_per_s"] = round(fb, 2)
         extra["fwdbwd_64spp_step_mrays_per_s"] = round(fb64, 2)
     if fwd is None:
         fwd = extra.get("fwdbwd_mrays_per_s", 0.0)
 
     baseline_mrays = 1280 * 720 * 10 * 5 / 1e6  # 46.08 (see module docstring)
-    tag = "_tri16k" if args.tri_scene else ""
+    tag = {"tri": "_tri16k", "mixed": "_mixed16k"}.get(scene, "")
     print(json.dumps({
         "metric": f"pathtrace_{H}p{tag}_mrays_per_s",
         "value": round(fwd, 2),

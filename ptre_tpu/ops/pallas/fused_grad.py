@@ -7,10 +7,11 @@ transpose-matmul'd the cotangents back — ~6 GB/step of pure glue traffic at
 1080p, and unscalable to triangle scenes (a 16k-row one-hot at 2M rays is
 17 GB). This module deletes the glue:
 
-  * **forward** = the fused megakernel itself (dense serial-sweep variant for
-    reference-demo scenes, culled lane-parallel variant for triangle scenes
-    up to 32k Morton-ordered triangles), recording only the per-bounce winner
-    SELECTIONS (4 rows/bounce) — the color comes straight off the chip;
+  * **forward** = a recording fused trace (dense serial-sweep megakernel
+    for reference-demo scenes; the sorted WAVEFRONT path,
+    `ops.pallas.wavefront`, for triangle scenes — r4), recording only the
+    per-bounce winner SELECTIONS (4 rows/bounce) — the color comes
+    straight off the chip;
   * **backward** = ONE Pallas kernel: per ray block it re-GATHERS the winner
     rows from the VMEM-resident unified (P, 27) table with per-sublane
     one-hot MXU matmuls (per-tile `pl.when` skip — only tiles that contain

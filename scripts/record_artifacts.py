@@ -57,6 +57,10 @@ def main():
 
     art["bench_py"] = run_json([py, "bench.py"])
     art["bench_py_tri"] = run_json([py, "bench.py", "--tri-scene"])
+    # BASELINE config 4 at its literal shape: mixed analytic+mesh ~16k-tri
+    # scene, 1080p, differentiable, incl. the one-shot 64-spp step
+    art["bench_py_mixed"] = run_json([py, "bench.py", "--mixed-scene",
+                                      "--steps", "4"])
     tri = run_json([py, "scripts/bench_tri.py"]
                    + ([] if args.quick else ["--stress"]))
     art["tri_scenes"] = tri if isinstance(tri, list) else [tri]

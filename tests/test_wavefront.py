@@ -130,7 +130,10 @@ def test_empty_and_sphere_only_scenes():
     got = np.asarray(wf.trace(key, o, d, pkt, cfg, interpret=True))
     ref = np.asarray(mk.trace_fused(0, o, d, pkt, cfg, key=key,
                                     interpret=True))
-    np.testing.assert_allclose(got, ref, atol=1e-6)
+    # sphere-only scenes route trace_fused to the DENSE kernel, which
+    # re-normalizes the (already unit up to rounding) sphere normal where
+    # the lane-parallel/wavefront kernels don't -> ~1e-6 shading wiggle
+    np.testing.assert_allclose(got, ref, atol=3e-5)
 
 
 def test_supports_gates():

@@ -479,6 +479,25 @@ def make_train_step(mesh: Mesh, cam: cam_ops.Camera, config: RenderConfig,
     return step
 
 
+def make_dual_train_step(mesh: Mesh, cam: cam_ops.Camera,
+                         config: RenderConfig, raster_config, spp: int = 1,
+                         raster_weight: float = 0.5, sigma: float = 0.5,
+                         row_order: str = ROW_ORDER_DEFAULT):
+    """Build a jit-compiled differentiable dual-pipeline step (see
+    `make_render_step` for why — `dual_train_step` re-traces per call).
+    Returns ``step(params, packet, raster_packet, target, key) ->
+    (loss, grads)``."""
+
+    @jax.jit
+    def step(params, packet, raster_packet, target, key):
+        return dual_train_step(mesh, params, packet, raster_packet, cam,
+                               target, key, config, raster_config, spp=spp,
+                               raster_weight=raster_weight, sigma=sigma,
+                               row_order=row_order)
+
+    return step
+
+
 def replicate(mesh: Mesh, tree):
     """Place a pytree replicated over the mesh."""
     s = NamedSharding(mesh, P())

@@ -57,20 +57,46 @@ def main():
         out["pallas_mpixels_per_s"] / out["xla_mpixels_per_s"], 1)
 
     # differentiable (SoftRas) variant: the gradient-bearing pipeline of
-    # BASELINE config 5 — measured at the same frame shape
-    soft_fn = jax.jit(lambda: ras.rasterize(pkt, cam, cfg, soft=True,
-                                            row_chunk=96, backend="xla"))
+    # BASELINE config 5 — measured at the same frame shape. "soft" = the
+    # production Pallas custom-VJP kernel pair (r4); "soft_xla" = the XLA
+    # reference path kept for the A/B.
+    import jax.numpy as jnp
+
+    for name, fn in (
+        ("soft", jax.jit(lambda: ras.rasterize(pkt, cam, cfg, soft=True))),
+        ("soft_xla", jax.jit(lambda: ras.rasterize(
+            pkt, cam, cfg, soft=True, row_chunk=96, backend="xla"))),
+    ):
+        t0 = time.perf_counter()
+        img = fn()
+        float(img.sum())
+        out[f"{name}_compile_s"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            img = fn()
+        float(img.sum())
+        dt = (time.perf_counter() - t0) / 3
+        out[f"{name}_ms_per_frame"] = round(dt * 1e3, 2)
+        out[f"{name}_mpixels_per_s"] = round(W * H / dt / 1e6, 1)
+
+    # soft forward+backward (the dual-train gradient shape)
+    tgt = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    def loss(tr):
+        p2 = pkt.replace(transforms=tr)
+        return jnp.mean((ras.rasterize(p2, cam, cfg, soft=True) - tgt) ** 2)
+
+    g = jax.jit(jax.value_and_grad(loss))
     t0 = time.perf_counter()
-    img = soft_fn()
-    float(img.sum())
-    out["soft_compile_s"] = round(time.perf_counter() - t0, 1)
+    v, gr = g(pkt.transforms)
+    float(gr.sum())
+    out["soft_fwdbwd_compile_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
     for _ in range(3):
-        img = soft_fn()
-    float(img.sum())
-    dt = (time.perf_counter() - t0) / 3
-    out["soft_ms_per_frame"] = round(dt * 1e3, 2)
-    out["soft_mpixels_per_s"] = round(W * H / dt / 1e6, 1)
+        v, gr = g(pkt.transforms)
+    float(gr.sum())
+    out["soft_fwdbwd_ms_per_frame"] = round(
+        (time.perf_counter() - t0) / 3 * 1e3, 2)
     print(json.dumps(out))
 
 

@@ -65,6 +65,9 @@ def main():
                    + ([] if args.quick else ["--stress"]))
     art["tri_scenes"] = tri if isinstance(tri, list) else [tri]
     art["raster"] = run_json([py, "scripts/bench_raster.py"])
+    # BASELINE config 5 at 1080p-shape: differentiable dual pipeline (PT +
+    # soft-raster losses, shared params) on the chip
+    art["dual_train_1080p"] = run_json([py, "scripts/bench_dual.py"])
     art["bwd_breakdown"] = run_json([py, "scripts/bench_bwd_breakdown.py"])
     art["scaling"] = run_json(
         [py, "scripts/bench_scaling.py"],

@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ptre_tpu.ops.pallas.raster_kernel import (
-    _SUB, _TRI_CHUNK, _lanes_for_width, _morton2_order, pack_raster_tris,
+    _SUB, _TRI_CHUNK, _lanes_for_width, pack_raster_tris,
 )
 
 _BIG = 3e38

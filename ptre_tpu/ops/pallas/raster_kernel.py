@@ -53,10 +53,8 @@ _MAX_RESIDENT_TRIS = 24576
 
 def supports(config) -> bool:
     ss = config.supersample
-    return (
-        (config.height * ss) % _SUB == 0
-        and _lanes_for_width(config.width * ss) > 0
-    )
+    th, tw = _tile_shape(config.height * ss, config.width * ss)
+    return th > 0 and tw > 0
 
 
 def fits(packet) -> bool:
@@ -200,16 +198,68 @@ def pack_raster_tris(packet, cam, config):
 _BIG_IDX = 1.0e9
 
 
+def _tile_shape(height_ss: int, width_ss: int):
+    """Pick the (tile_h, tile_w) pixel-tile shape for the sweep kernel.
+
+    Square-ish tiles minimize (chunk, tile) overlap pairs: chunk union
+    bboxes are Morton-compact ~square patches, so a (32, 128) tile
+    overlaps ~2x fewer chunks than the old (8, 512) row slab at the same
+    4096-pixel area / per-pair sweep cost (measured 1420 -> ~650 hit
+    pairs on the 720p ss=2 demo scene). Falls back toward the slab shape
+    for heights/widths the preferred shape doesn't divide.
+    """
+    for th in (32, 16, 8):
+        if height_ss % th == 0:
+            break
+    else:
+        return 0, 0
+    for tw in (128, 256, 384, 512):
+        if width_ss % tw == 0:
+            return th, tw
+    return 0, 0
+
+
+def _tile_shortlists(cbox, n_ti, n_tj, th, tw):
+    """Per-tile compact chunk shortlists, built in XLA (not in-kernel).
+
+    The r4 single-pass kernel still gated every (tile, chunk) pair with a
+    scalar `pl.when` inside a `fori_loop` — ~28k gate iterations at 720p
+    ss=2, each costing a measured few-hundred ns even when the chunk is
+    rejected (PERF.md round-4 constants). Same cure as the wavefront path
+    tracer's mask/shortlist split: evaluate the whole (tiles x chunks)
+    bbox-overlap matrix vectorized in XLA, sort each tile's hit chunk ids
+    to the front (ascending, preserving the lower-Morton-chunk-first
+    z-tie rule), and hand the kernel a per-tile (count, ids) shortlist so
+    its loop body runs ONLY over chunks that really overlap the tile.
+    """
+    ty0 = jnp.arange(n_ti, dtype=jnp.float32)[:, None, None] * th
+    tx0 = jnp.arange(n_tj, dtype=jnp.float32)[None, :, None] * tw
+    hit = (
+        (cbox[None, None, :, 4] > 0.5)
+        & (cbox[None, None, :, 0] < tx0 + tw)
+        & (cbox[None, None, :, 1] >= tx0)
+        & (cbox[None, None, :, 2] < ty0 + th)
+        & (cbox[None, None, :, 3] >= ty0)
+    )  # (n_ti, n_tj, C)
+    n_chunks = cbox.shape[0]
+    ids = jnp.where(hit, jnp.arange(n_chunks, dtype=jnp.int32), n_chunks)
+    ids = jnp.sort(ids, axis=-1)
+    count = jnp.sum(hit, axis=-1, dtype=jnp.int32)
+    return ids, count
+
+
 def _raster_kernel(
     scal_ref,  # SMEM f32 (16,): ambient rgb, albedo rgb, light xyz, clear rgb
-    cbox_ref,  # SMEM (n_chunks, 8): per-chunk union bbox + any-keep
+    sl_ref,  # SMEM (n_tiles, n_chunks) i32: per-tile hit-chunk shortlists
+    cnt_ref,  # SMEM (n_tiles,) i32: valid shortlist entries per tile
     tri_ref,  # VMEM (T_pad, 32): the WHOLE triangle table, resident
-    out_ref,  # VMEM (3, 8, lanes) shaded tile
-    zb_ref,  # scratch (8, lanes): z-buffer
-    wi_ref,  # scratch (8, lanes): winner GLOBAL triangle index (f32)
-    oh_ref,  # scratch (TRI_CHUNK, 8*lanes): winner one-hots for all 8 rows
-    at_ref,  # scratch (32, 8*lanes): gathered winner attributes
+    out_ref,  # VMEM (3, th, tw) shaded tile
+    zb_ref,  # scratch (th, tw): z-buffer
+    wi_ref,  # scratch (th, tw): winner GLOBAL triangle index (f32)
+    oh_ref,  # scratch (TRI_CHUNK, th*tw): winner one-hots for all rows
+    at_ref,  # scratch (32, th*tw): gathered winner attributes
     *,
+    th: int,
     lanes: int,
 ):
     """Vectorized tile rasterizer: triangles on SUBLANES, pixels on lanes.
@@ -228,79 +278,73 @@ def _raster_kernel(
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
-    n_chunks = cbox_ref.shape[0]
+    tid = i * pl.num_programs(1) + j
     shape = zb_ref.shape
     n_groups = _TRI_CHUNK // _SUB
 
     zb_ref[...] = jnp.full(shape, _FAR, jnp.float32)
     wi_ref[...] = jnp.full(shape, _BIG_IDX, jnp.float32)
 
-    # tile bounds in supersampled pixel space
+    # tile origin in supersampled pixel space
     tx0 = (j * lanes).astype(jnp.float32)
-    ty0 = (i * _SUB).astype(jnp.float32)
-    tx1 = tx0 + float(lanes)
-    ty1 = ty0 + float(_SUB)
+    ty0 = (i * th).astype(jnp.float32)
 
     px = tx0 + jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1).astype(
         jnp.float32) + 0.5  # (1, L)
     sub8 = jax.lax.broadcasted_iota(jnp.int32, (_SUB, lanes), 0).astype(
         jnp.float32)  # triangle sublane id within a group
 
-    def chunk_body(k, carry):
-        chunk_hit = (
-            (cbox_ref[k, 4] > 0.5)
-            & (cbox_ref[k, 0] < tx1) & (cbox_ref[k, 1] >= tx0)
-            & (cbox_ref[k, 2] < ty1) & (cbox_ref[k, 3] >= ty0)
-        )
+    def chunk_body(t, carry):
+        # shortlists hold only overlapping chunks (built in XLA,
+        # `_tile_shortlists`), so the sweep runs unconditionally — no
+        # per-chunk scalar gate. (r3/r4 history: a per-row bbox `pl.when`
+        # gate was tried and measured SLOWER; the r4 per-chunk gate loop
+        # itself cost ~0.3 µs per REJECTED chunk, which this removes.)
+        k = sl_ref[tid, t]
+        base = k * _TRI_CHUNK
+        blk_all = tri_ref[pl.dslice(base, _TRI_CHUNK), :]  # (_TRI_CHUNK, 32)
 
-        @pl.when(chunk_hit)
-        def _sweep_chunk():
-            base = k * _TRI_CHUNK
-            blk_all = tri_ref[pl.dslice(base, _TRI_CHUNK), :]  # (_TRI_CHUNK, 32)
+        def row_pass(r, py_r):
+            best_z = jnp.full((1, lanes), _FAR, jnp.float32)
+            best_i = jnp.full((1, lanes), _BIG_IDX, jnp.float32)
+            for g in range(n_groups):
+                blk = blk_all[g * _SUB:(g + 1) * _SUB, :]  # (8, 32)
+                c = lambda col: blk[:, col:col + 1]  # (8, 1)
+                w0 = ((c(2) - px) * (c(5) - py_r)
+                      - (c(4) - px) * (c(3) - py_r)) * c(22)
+                w1 = ((c(4) - px) * (c(1) - py_r)
+                      - (c(0) - px) * (c(5) - py_r)) * c(22)
+                w2 = 1.0 - w0 - w1
+                z = w0 * c(6) + w1 * c(7) + w2 * c(8)
+                covered = (
+                    (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
+                    & (z >= 0.0) & (z <= 1.0) & (c(12) > 0.5)
+                )
+                zc = jnp.where(covered, z, _FAR)
+                gmin = jnp.min(zc, axis=0, keepdims=True)
+                # lowest sublane among in-group z-ties
+                cand = jnp.where(zc == gmin, sub8, _BIG_IDX)
+                gidx = (jnp.min(cand, axis=0, keepdims=True)
+                        + (base + g * _SUB).astype(jnp.float32))
+                upd = (gmin < best_z) | ((gmin == best_z)
+                                         & (gidx < best_i))
+                best_i = jnp.where(upd, gidx, best_i)
+                best_z = jnp.where(upd, gmin, best_z)
 
-            def row_pass(r, py_r):
-                best_z = jnp.full((1, lanes), _FAR, jnp.float32)
-                best_i = jnp.full((1, lanes), _BIG_IDX, jnp.float32)
-                for g in range(n_groups):
-                    blk = blk_all[g * _SUB:(g + 1) * _SUB, :]  # (8, 32)
-                    c = lambda col: blk[:, col:col + 1]  # (8, 1)
-                    w0 = ((c(2) - px) * (c(5) - py_r)
-                          - (c(4) - px) * (c(3) - py_r)) * c(22)
-                    w1 = ((c(4) - px) * (c(1) - py_r)
-                          - (c(0) - px) * (c(5) - py_r)) * c(22)
-                    w2 = 1.0 - w0 - w1
-                    z = w0 * c(6) + w1 * c(7) + w2 * c(8)
-                    covered = (
-                        (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
-                        & (z >= 0.0) & (z <= 1.0) & (c(12) > 0.5)
-                    )
-                    zc = jnp.where(covered, z, _FAR)
-                    gmin = jnp.min(zc, axis=0, keepdims=True)
-                    # lowest sublane among in-group z-ties
-                    cand = jnp.where(zc == gmin, sub8, _BIG_IDX)
-                    gidx = (jnp.min(cand, axis=0, keepdims=True)
-                            + (base + g * _SUB).astype(jnp.float32))
-                    upd = (gmin < best_z) | ((gmin == best_z)
-                                             & (gidx < best_i))
-                    best_i = jnp.where(upd, gidx, best_i)
-                    best_z = jnp.where(upd, gmin, best_z)
+            # z-buffer LESS merge vs earlier chunks (strict < keeps the
+            # earlier = lower-sorted-index chunk on ties; shortlists are
+            # ascending so sweep order == chunk order)
+            zb = zb_ref[r:r + 1, :]
+            upd = best_z < zb
+            zb_ref[r:r + 1, :] = jnp.where(upd, best_z, zb)
+            wi_ref[r:r + 1, :] = jnp.where(upd, best_i,
+                                           wi_ref[r:r + 1, :])
 
-                # z-buffer LESS merge vs earlier chunks (strict < keeps the
-                # earlier = lower-sorted-index chunk on ties)
-                zb = zb_ref[r:r + 1, :]
-                upd = best_z < zb
-                zb_ref[r:r + 1, :] = jnp.where(upd, best_z, zb)
-                wi_ref[r:r + 1, :] = jnp.where(upd, best_i,
-                                               wi_ref[r:r + 1, :])
-
-            # (a per-row bbox `pl.when` gate was tried here — r3 PERF.md's
-            # "win gating" rung — and measured SLOWER: even scalar-condition
-            # branches cost more than the skipped row pass on this chip)
-            for r in range(_SUB):
-                row_pass(r, ty0 + float(r) + 0.5)
+        for r in range(th):
+            row_pass(r, ty0 + float(r) + 0.5)
         return carry
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    jax.lax.fori_loop(0, cnt_ref[tid], chunk_body, 0)
 
     # ---- deferred winner gather: one one-hot matmul per chunk in the ----
     # [min, max] winner-index range (Morton-compact winners span only a
@@ -326,7 +370,7 @@ def _raster_kernel(
             blk_all = tri_ref[pl.dslice(base, _TRI_CHUNK), :]
             rows = jax.lax.broadcasted_iota(
                 jnp.int32, (_TRI_CHUNK, lanes), 0).astype(jnp.float32)
-            for r in range(_SUB):
+            for r in range(th):
                 oh_ref[:, r * lanes:(r + 1) * lanes] = (
                     ((rows + base.astype(jnp.float32)) == wi_ref[r:r + 1, :])
                     .astype(jnp.float32) * hit_f[r:r + 1, :])
@@ -337,7 +381,7 @@ def _raster_kernel(
 
         jax.lax.fori_loop(lo_c, hi_c + 1, gather_chunk, 0)
 
-        for r in range(_SUB):
+        for r in range(th):
             py_r = ty0 + float(r) + 0.5
             attrs = at_ref[:, r * lanes:(r + 1) * lanes]
             # re-interpolate the winner exactly (same algebra as the sweep)
@@ -370,26 +414,32 @@ def _raster_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height_ss", "width_ss", "lanes", "interpret"),
+    jax.jit,
+    static_argnames=("height_ss", "width_ss", "th", "lanes", "interpret"),
 )
-def _raster_call(scalars, cbox, tris, height_ss, width_ss, lanes,
+def _raster_call(scalars, cbox, tris, height_ss, width_ss, th, lanes,
                  interpret=False):
+    n_ti, n_tj = height_ss // th, width_ss // lanes
+    sl, cnt = _tile_shortlists(cbox, n_ti, n_tj, th, lanes)
+    sl = sl.reshape(n_ti * n_tj, -1)
+    cnt = cnt.reshape(n_ti * n_tj)
     out = pl.pallas_call(
-        functools.partial(_raster_kernel, lanes=lanes),
-        grid=(height_ss // _SUB, width_ss // lanes),
+        functools.partial(_raster_kernel, th=th, lanes=lanes),
+        grid=(n_ti, n_tj),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # resident table
         ],
-        out_specs=pl.BlockSpec((3, _SUB, lanes), lambda i, j: (0, i, j),
+        out_specs=pl.BlockSpec((3, th, lanes), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, height_ss, width_ss), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((_SUB, lanes), jnp.float32)] * 2
-        + [pltpu.VMEM((_TRI_CHUNK, _SUB * lanes), jnp.float32),
-           pltpu.VMEM((32, _SUB * lanes), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((th, lanes), jnp.float32)] * 2
+        + [pltpu.VMEM((_TRI_CHUNK, th * lanes), jnp.float32),
+           pltpu.VMEM((32, th * lanes), jnp.float32)],
         interpret=interpret,
-    )(scalars, cbox, tris)
+    )(scalars, sl, cnt, tris)
     return out
 
 
@@ -401,8 +451,8 @@ def rasterize_fused(packet, cam, config, interpret=False):
     """
     ss = config.supersample
     Hs, Ws = config.height * ss, config.width * ss
-    lanes = _lanes_for_width(Ws)
-    assert lanes and Hs % _SUB == 0, (Hs, Ws)
+    th, lanes = _tile_shape(Hs, Ws)
+    assert th and lanes, (Hs, Ws)
 
     tris, cbox = pack_raster_tris(packet, cam, config)
     light = vm.normalize(jnp.asarray(config.light_dir, jnp.float32))
@@ -415,7 +465,7 @@ def rasterize_fused(packet, cam, config, interpret=False):
         jnp.asarray(config.clear_color, jnp.float32),
         jnp.zeros(4, jnp.float32),
     ])
-    out = _raster_call(scalars, cbox, tris, Hs, Ws, lanes=lanes,
+    out = _raster_call(scalars, cbox, tris, Hs, Ws, th=th, lanes=lanes,
                        interpret=interpret)
     img = jnp.transpose(out, (1, 2, 0))
     return img.reshape(config.height, ss, config.width, ss, 3).mean(

@@ -43,6 +43,7 @@ def test_shard_raster_matches_single_device():
         np.asarray(img), np.asarray(img_single), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # soft-path variant of the hard shard==single test above
 def test_shard_raster_soft_matches_single_device():
     pkt, rpkt, cam, cfg, rcfg = _setup()
     mesh = sh.make_mesh((8, 1))
@@ -53,6 +54,7 @@ def test_shard_raster_soft_matches_single_device():
         np.asarray(img), np.asarray(img_single), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # legacy block row-mapping variant (strided is the default)
 def test_shard_raster_block_order_matches_single_device():
     pkt, rpkt, cam, cfg, rcfg = _setup()
     mesh = sh.make_mesh((4, 2))
@@ -64,6 +66,7 @@ def test_shard_raster_block_order_matches_single_device():
         np.asarray(img), np.asarray(img_single), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # shape/sky contract also exercised by the train-step test below
 def test_dual_pipeline_step_shapes_and_sky():
     pkt, rpkt, cam, cfg, rcfg = _setup()
     mesh = sh.make_mesh((4, 2))

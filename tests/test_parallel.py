@@ -186,6 +186,7 @@ def test_strided_odd_height_render_and_train(scene_setup):
     np.testing.assert_allclose(float(loss), sse / (Ho * W * 3), rtol=1e-5)
 
 
+@pytest.mark.slow  # convergence property, ~1 min: nightly tier
 def test_train_step_reduces_loss(scene_setup):
     pkt, cam, _ = scene_setup
     cfg = RenderConfig(width=W, height=H, clamp_samples=False)
@@ -211,6 +212,7 @@ def test_train_step_reduces_loss(scene_setup):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow  # factory-wiring redundancy of the direct-call tests above
 def test_make_step_factories_match_direct(scene_setup):
     """The jitted factory steps equal the direct (unjitted) calls."""
     pkt, cam, cfg = scene_setup

@@ -66,7 +66,9 @@ def _bench_forward(W, H, spp, steps, scene="demo"):
     accum = pt.AccumState.create(H, W)
     key = rng.key_for(cfg.seed)
 
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    from ptre_tpu.utils.backend import is_tpu_backend
+
+    on_tpu = is_tpu_backend()
     ray_chunk = 0 if on_tpu else (W * H) // 8
 
     # warmup / compile (fetch a scalar: the experimental tunnel platform's

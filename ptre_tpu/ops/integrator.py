@@ -31,14 +31,14 @@ import jax.numpy as jnp
 from ptre_tpu.ops import materials, rng
 from ptre_tpu.ops.intersect import closest_hit
 from ptre_tpu.utils.config import RenderConfig
+from ptre_tpu.utils.backend import is_tpu_backend
 
 
 def _select_sweep(config: RenderConfig):
     """Pick the closest-hit sweep backend (Pallas TPU kernel vs XLA)."""
     backend = config.intersect_backend
     if backend == "auto":
-        # "axon" is the tunneled TPU platform name in this environment
-        backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        backend = "pallas" if is_tpu_backend() else "xla"
     if backend == "pallas":
         from ptre_tpu.ops.pallas import intersect_kernel
 
@@ -74,7 +74,7 @@ def _grad_route(config: RenderConfig, packet) -> str:
     if mode == "fused":
         return "fused" if fused_ok() else "staged"
     # auto: fused on TPU whenever the megakernel takes the scene
-    if jax.default_backend() in ("tpu", "axon") and fused_ok():
+    if is_tpu_backend() and fused_ok():
         return "fused"
     return "staged"
 

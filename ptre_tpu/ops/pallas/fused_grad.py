@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ptre_tpu.ops.pallas import megakernel as mk
 from ptre_tpu.ops.pallas import replay_kernel as rk
+from ptre_tpu.utils.backend import is_tpu_backend
 
 #: table tile width (lanes) for the gather/scatter one-hot matmuls; the
 #: per-(tile, bounce) skip granularity
@@ -396,7 +397,7 @@ def trace_grad(key, o, d, packet, config, interpret=None, force=None):
     from ptre_tpu.ops.path_replay import _build_table
 
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        interpret = not is_tpu_backend()
     sg = jax.lax.stop_gradient
     pkt_d = jax.tree.map(sg, packet)
     R = o.shape[0]

@@ -8,15 +8,18 @@ z-buffer LESS test (`rasterizer.cu:77-83`), CW-front back-face culling
 (`rasterizer.cu:117-124`), perspective-correct normal interpolation, HLSL
 ambient+diffuse shading, sky-blue clear (`renderer_base.cu:30`).
 
-Design: the supersampled image is cut into (8, lanes) pixel tiles; the
-z-buffer, perspective-correct normal numerators/denominator and hit flag for
-one tile live in VMEM scratch. Triangles stream through SMEM in chunks on
-the innermost grid dimension (the TPU grid is sequential, so the tile's
-scratch persists across its triangle chunks: init at chunk 0, accumulate,
-shade + write at the last chunk). Each triangle is gated by a scalar
-screen-bbox vs tile-bbox test (`pl.when`) so off-tile triangles cost ~10
-scalar ops and no vector work — the Pallas analogue of hardware tile
-binning.
+Design (round-4 shortlist rewrite): the supersampled image is cut into
+square-ish (32, 128) pixel tiles (grid = tiles); the whole Z-curve-sorted
+triangle table is VMEM-resident. Tile binning happens OUTSIDE the kernel:
+XLA evaluates the full (tiles x chunk-bboxes) overlap matrix and compacts
+each tile's overlapping 64-triangle chunk ids into a per-tile SHORTLIST
+(`_tile_shortlists`), so the kernel's `fori_loop` visits only chunks that
+really overlap its tile — no per-chunk scalar gates in the hot path at
+all. Per visited chunk the sweep does one lexicographic (z, index)
+closest-hit pass per pixel row (triangles on sublanes, pixels on lanes),
+recording (z, winner index); winner attributes are gathered AFTER the
+loop with one one-hot MXU matmul per chunk in the [min, max] winner-index
+range, then re-interpolated exactly and shaded (HLSL ambient+diffuse).
 
 The differentiable SoftRas path and the CPU path stay in
 `render.rasterizer`; this kernel is forward-only, like the megakernel.
@@ -205,17 +208,18 @@ def _tile_shape(height_ss: int, width_ss: int):
     bboxes are Morton-compact ~square patches, so a (32, 128) tile
     overlaps ~2x fewer chunks than the old (8, 512) row slab at the same
     4096-pixel area / per-pair sweep cost (measured 1420 -> ~650 hit
-    pairs on the 720p ss=2 demo scene). Falls back toward the slab shape
-    for heights/widths the preferred shape doesn't divide.
+    pairs on the 720p ss=2 demo scene). Shorter tiles are the fallback for
+    heights 32 doesn't divide; the width must be lane-aligned (any width a
+    wider multiple of 128 divides is already divisible by 128, so 128 is
+    the only reachable lane count).
     """
     for th in (32, 16, 8):
         if height_ss % th == 0:
             break
     else:
         return 0, 0
-    for tw in (128, 256, 384, 512):
-        if width_ss % tw == 0:
-            return th, tw
+    if width_ss % 128 == 0:
+        return th, 128
     return 0, 0
 
 
@@ -250,8 +254,8 @@ def _tile_shortlists(cbox, n_ti, n_tj, th, tw):
 
 def _raster_kernel(
     scal_ref,  # SMEM f32 (16,): ambient rgb, albedo rgb, light xyz, clear rgb
-    sl_ref,  # SMEM (n_tiles, n_chunks) i32: per-tile hit-chunk shortlists
-    cnt_ref,  # SMEM (n_tiles,) i32: valid shortlist entries per tile
+    sl_ref,  # SMEM (1, n_chunks) i32: THIS tile's hit-chunk shortlist
+    cnt_ref,  # SMEM (1, 1) i32: valid shortlist entries for this tile
     tri_ref,  # VMEM (T_pad, 32): the WHOLE triangle table, resident
     out_ref,  # VMEM (3, th, tw) shaded tile
     zb_ref,  # scratch (th, tw): z-buffer
@@ -278,7 +282,6 @@ def _raster_kernel(
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
-    tid = i * pl.num_programs(1) + j
     shape = zb_ref.shape
     n_groups = _TRI_CHUNK // _SUB
 
@@ -300,7 +303,7 @@ def _raster_kernel(
         # per-chunk scalar gate. (r3/r4 history: a per-row bbox `pl.when`
         # gate was tried and measured SLOWER; the r4 per-chunk gate loop
         # itself cost ~0.3 µs per REJECTED chunk, which this removes.)
-        k = sl_ref[tid, t]
+        k = sl_ref[0, t]
         base = k * _TRI_CHUNK
         blk_all = tri_ref[pl.dslice(base, _TRI_CHUNK), :]  # (_TRI_CHUNK, 32)
 
@@ -344,7 +347,7 @@ def _raster_kernel(
             row_pass(r, ty0 + float(r) + 0.5)
         return carry
 
-    jax.lax.fori_loop(0, cnt_ref[tid], chunk_body, 0)
+    jax.lax.fori_loop(0, cnt_ref[0, 0], chunk_body, 0)
 
     # ---- deferred winner gather: one one-hot matmul per chunk in the ----
     # [min, max] winner-index range (Morton-compact winners span only a
@@ -421,15 +424,21 @@ def _raster_call(scalars, cbox, tris, height_ss, width_ss, th, lanes,
                  interpret=False):
     n_ti, n_tj = height_ss // th, width_ss // lanes
     sl, cnt = _tile_shortlists(cbox, n_ti, n_tj, th, lanes)
+    n_chunks = sl.shape[-1]
     sl = sl.reshape(n_ti * n_tj, -1)
-    cnt = cnt.reshape(n_ti * n_tj)
+    cnt = cnt.reshape(n_ti * n_tj, 1)
     out = pl.pallas_call(
         functools.partial(_raster_kernel, th=th, lanes=lanes),
         grid=(n_ti, n_tj),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # per-tile shortlist blocks: per-program SMEM stays O(n_chunks)
+            # (the whole (n_tiles, n_chunks) table is ~6 MB at 1080p ss=2 —
+            # far past the SMEM budget if passed unblocked)
+            pl.BlockSpec((1, n_chunks), lambda i, j: (i * n_tj + j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (i * n_tj + j, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # resident table
         ],
         out_specs=pl.BlockSpec((3, th, lanes), lambda i, j: (0, i, j),

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from ptre_tpu.ops import rng as _rng
 from ptre_tpu.ops.intersect import sphere_hit_attrs_t, triangle_hit_attrs_t
 from ptre_tpu.utils.config import RenderConfig
+from ptre_tpu.utils.backend import is_tpu_backend
 
 _PI = 3.14159265358979
 _TAU = 2.0 * _PI
@@ -289,7 +290,7 @@ def replay(o, d, sel, urand, packet, config: RenderConfig, backend="auto"):
     sky_b, sky_t = sky6[:3], sky6[3:]
 
     if backend == "auto":
-        backend = ("pallas" if jax.default_backend() in ("tpu", "axon")
+        backend = ("pallas" if is_tpu_backend()
                    else "xla")
     if backend in ("pallas", "pallas-interpret"):
         return _replay_pallas(o, d, sel, urand, table, T, sky6, config,
@@ -369,9 +370,9 @@ def trace_fused_grad(key, o, d, packet, config: RenderConfig,
     from ptre_tpu.ops.pallas import megakernel
 
     if interpret is None:  # Pallas interpret mode off-TPU (CPU tests)
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        interpret = not is_tpu_backend()
     sg = jax.lax.stop_gradient
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    on_tpu = is_tpu_backend()
     if on_tpu and not interpret:
         # planar fast path: selections/uniforms stay in the kernel's
         # (rows, 8, L) layout straight into the Pallas replay core

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ptre_tpu.ops import camera as cam_ops
 from ptre_tpu.ops import integrator, rng
 from ptre_tpu.utils.config import RenderConfig
+from ptre_tpu.utils.backend import is_tpu_backend
 
 
 @struct.dataclass
@@ -65,7 +66,7 @@ def _resolve_pipeline(config: RenderConfig) -> str:
     b = config.intersect_backend
     if b == "fused":
         return "fused"
-    if b == "auto" and jax.default_backend() in ("tpu", "axon"):
+    if b == "auto" and is_tpu_backend():
         return "fused"
     return "staged"
 

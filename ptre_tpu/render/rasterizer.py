@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from ptre_tpu.ops import vecmat as vm
 from ptre_tpu.utils.config import RasterConfig
+from ptre_tpu.utils.backend import is_tpu_backend
 
 
 def transform_vertices(tri_v, tri_n, tri_dc, transforms, view, proj):
@@ -205,7 +206,7 @@ def raster_rows(packet, cam, config: RasterConfig, y0, rows,
     ~30x the XLA soft path at 720p); "xla" forces the reference path;
     "pallas" forces the kernels.
     """
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    on_tpu = is_tpu_backend()
     if backend != "xla" and (on_tpu or backend == "pallas"):
         from ptre_tpu.ops.pallas import raster_kernel, soft_raster
 

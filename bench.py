@@ -124,7 +124,7 @@ def _bench_fwdbwd(W, H, steps, scene="demo"):
             o, d = cam_ops.get_rays(cm, px, py, jit)
             from ptre_tpu.ops import integrator
 
-            c = integrator.trace(sk, o, d, pk, cfg)
+            c = integrator.trace(sk, o, d, pk, cfg, screen_cam=cm)
             return acc + c, None
 
         if spp == 1:
@@ -162,7 +162,7 @@ def _bench_fwdbwd(W, H, steps, scene="demo"):
             o, d = cam_ops.get_rays(cm, px, py, jit)
             from ptre_tpu.ops import integrator
 
-            return integrator.trace(k, o, d, pk, cfg)
+            return integrator.trace(k, o, d, pk, cfg, screen_cam=cm)
 
         fwd1 = jax.jit(sample_img)
         lin = jax.jit(jax.grad(

@@ -79,7 +79,8 @@ def _grad_route(config: RenderConfig, packet) -> str:
     return "staged"
 
 
-def trace(key, origins, directions, packet, config: RenderConfig):
+def trace(key, origins, directions, packet, config: RenderConfig,
+          screen_cam=None):
     """Trace one sample per ray → linear color (R, 3).
 
     Args:
@@ -87,12 +88,18 @@ def trace(key, origins, directions, packet, config: RenderConfig):
       origins, directions: (R, 3) primary rays (unit directions).
       packet: ScenePacket.
       config: RenderConfig (max_depth, t range, sky, epsilons).
+      screen_cam: optional Camera whose jittered per-pixel rays
+        (origins, directions) are, in row-major order — lets the
+        triangle-scale fused route bin bounce 0 in screen space
+        (`wavefront.trace`). Purely an acceleration hint; the image is
+        unchanged.
     """
     route = _grad_route(config, packet)
     if route == "fused":
         from ptre_tpu.ops.pallas import fused_grad
 
-        return fused_grad.trace_grad(key, origins, directions, packet, config)
+        return fused_grad.trace_grad(key, origins, directions, packet,
+                                     config, screen_cam=screen_cam)
     if route == "replay":
         from ptre_tpu.ops import path_replay
 

@@ -378,7 +378,8 @@ def _make_core(max_depth, t_min, shadow_eps, pdf_eps, tri_rows, n_rays,
     return core
 
 
-def trace_grad(key, o, d, packet, config, interpret=None, force=None):
+def trace_grad(key, o, d, packet, config, interpret=None, force=None,
+               screen_cam=None):
     """Differentiable fused trace → linear color (R, 3).
 
     Drop-in replacement for `integrator.trace` wherever the megakernel
@@ -393,6 +394,10 @@ def trace_grad(key, o, d, packet, config, interpret=None, force=None):
     forward), "dense", "wavefront", "culled" (megakernel lane-parallel,
     kept for A/B), or "uncull" (lane-parallel with culling off — brute
     reference).
+    ``screen_cam``: optional Camera whose jittered pixel rays (o, d) are,
+    in row-major order — enables the wavefront forward's bounce-0
+    screen-space binning (see `wavefront.trace`). Detached: culling is
+    discrete, so no gradient flows through the camera via this hint.
     """
     from ptre_tpu.ops.path_replay import _build_table
 
@@ -420,9 +425,14 @@ def trace_grad(key, o, d, packet, config, interpret=None, force=None):
         # fused backward consumes
         from ptre_tpu.ops.pallas import wavefront as wf
 
+        hint = None
+        scam = None
+        if screen_cam is not None and R == config.width * config.height:
+            hint = (config.height, config.width)
+            scam = jax.tree.map(sg, screen_cam)
         color, sel, urand, perm = wf.trace(
             key, sg(o), sg(d), pkt_d, config, record=True,
-            interpret=interpret)
+            interpret=interpret, tile_hint=hint, screen_cam=scam)
         # pad to the lane-width LCM so the widest backward block divides
         block = 8 * 768
         sel_p = mk._pad_to(sel.reshape(4 * B, R), block, axis=1)

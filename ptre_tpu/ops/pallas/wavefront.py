@@ -169,16 +169,15 @@ def _mask_call(scalars, stateT, boxT8, *, lanes, interpret):
     )(scalars, stateT, boxT8)
 
 
-def _shortlists(verd, n_leaf):
-    """(nb, nL128) verdict rows → (shortlist (nb, 1, nL + G),
+def _shortlists_from_mask(mask, n_leaf):
+    """(nb, n_leaf) bool survival mask → (shortlist (nb, 1, nL + G),
     cnt_pad (nb, 1, 1)).
 
     Surviving leaf indices first (ascending — preserves the Morton
     tie-break order), then the pad leaf ``n_leaf``; counts padded up to a
     whole sweep group.
     """
-    nb = verd.shape[0]
-    mask = verd[:, 0, :n_leaf] > 0.5
+    nb = mask.shape[0]
     cnt = jnp.sum(mask, axis=1).astype(jnp.int32)
     # top_k on the 0/1 mask: indices of 1s first, ties broken by LOWEST
     # index — surviving leaves ascending (the Morton tie-break order), much
@@ -192,6 +191,11 @@ def _shortlists(verd, n_leaf):
     short = jnp.concatenate(
         [short, jnp.full((nb, g), n_leaf, jnp.int32)], axis=1)
     return short[:, None, :], cnt_pad[:, None, None]
+
+
+def _shortlists(verd, n_leaf):
+    """(nb, 1, nL128) mask-kernel verdicts → per-block shortlists."""
+    return _shortlists_from_mask(verd[:, 0, :n_leaf] > 0.5, n_leaf)
 
 
 def _wave_kernel(
@@ -523,44 +527,116 @@ def _coherence_key(state, lo, hi):
     return jnp.where(act, key, jnp.int32(0x40000000))
 
 
-def tile_order(height: int, width: int, rows: int = 8, cols: int = 64):
-    """Primary-ray permutation: row-major pixels → (rows x cols) 2D tile
-    blocks (tile area = one 512-lane kernel block). Blocked camera frustums
-    are ~2x tighter than pixel-row blocks (see module docstring).
-    Returns None if the image doesn't tile evenly."""
-    if height % rows or width % cols:
-        return None
-    ids = jnp.arange(height * width, dtype=jnp.int32).reshape(height, width)
-    t = ids.reshape(height // rows, rows, width // cols, cols)
-    return t.transpose(0, 2, 1, 3).reshape(-1)
+class _SceneArrays:
+    """Packed per-scene arrays shared by every bounce of a trace: the
+    Morton-ordered resident triangle table (+ trailing pad leaf), the
+    transposed leaf-AABB table for the mask kernel, packed spheres, and
+    the scene bounds for the coherence key. ``leaf_screen`` (optional) is
+    the per-leaf screen-space bbox table for bounce-0 binning."""
+
+    __slots__ = ("scalars", "tris", "boxT8", "sphs", "sph_tile", "n_leaf",
+                 "scene_lo", "scene_hi", "perm_tri", "leaf_screen")
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw.get(k))
 
 
-def trace(key, o, d, packet, config, cull=True, record=False,
-          interpret=False, tile_hint=None, leaf=_LEAF, lanes=None):
-    """Wavefront trace: one sample per ray → linear color (R, 3).
+#: extra dilation (in pixels) applied to leaf screen bboxes on top of the
+#: ±0.5 px jitter accounted in the tile extents — absorbs float error
+#: between the projection algebra here and the Möller–Trumbore algebra in
+#: the sweep (edge hits must never be binned out).
+_SCREEN_DILATE = 1.0
+#: clip-w below which a vertex counts as on/behind the eye plane; such
+#: triangles wrap around under projection, so their bbox is conservatively
+#: the full screen.
+_W_EPS = 1e-6
 
-    Bit-identical to `megakernel.trace_fused(key=...)` on the same scene
-    (same threefry uniforms per original ray id; closest-hit is
-    order-independent). With ``record=True`` also returns
-    (sel (B, 4, R), urand (2B, R), tri_perm) in ORIGINAL ray order for the
-    fused backward (`fused_grad`).
 
-    ``tile_hint``: optional (H, W) — primary rays are additionally permuted
-    into 2D pixel-tile blocks for the first bounce.
-    ``cull=False`` sweeps every leaf (the brute A/B reference).
+def _leaf_screen_boxes(v0, v1, v2, tri_valid, cam, leaf, n_leaf):
+    """Per-leaf screen bboxes (n_leaf, 4): (minx, maxx, miny, maxy) in
+    CONTINUOUS pixel coordinates of the camera that generated the primary
+    rays (`camera.get_rays` convention: sample x = px + jitter, so NDC x =
+    (x / W) * 2 - 1 exactly).
+
+    Bounce-0 rays are camera rays, so a leaf's candidate rays are exactly
+    the pixels its projected triangles can cover — a 2D overlap test, far
+    tighter than the 3D slab union of a camera-frustum ray block (the
+    round-4 constants table measured 2.9 % b0 survival for 3D blocks; the
+    screen footprint of a 64-triangle Morton leaf is a small patch).
+    Conservative everywhere: invalid rows get a never-overlap box;
+    near-plane-crossing triangles (any vertex w <= _W_EPS, where the
+    projected footprint is not the vertex hull) get the full screen.
+    """
+    from ptre_tpu.ops import vecmat as vm
+
+    W, H = float(cam.width), float(cam.height)
+    vp = cam.view_matrix() @ cam.projection_matrix()
+    big = jnp.float32(3e38)
+
+    sxs, sys_, ws = [], [], []
+    for v in (v0, v1, v2):
+        ndc, w = vm.project_points(v, vp)
+        sxs.append((ndc[:, 0] + 1.0) * 0.5 * W)
+        sys_.append((1.0 - ndc[:, 1]) * 0.5 * H)
+        ws.append(w)
+    sx = jnp.stack(sxs, axis=1)  # (T, 3)
+    sy = jnp.stack(sys_, axis=1)
+    wmin = jnp.minimum(jnp.minimum(ws[0], ws[1]), ws[2])  # (T,)
+
+    safe = wmin > _W_EPS
+    minx = jnp.where(safe, jnp.min(sx, axis=1) - _SCREEN_DILATE, -big)
+    maxx = jnp.where(safe, jnp.max(sx, axis=1) + _SCREEN_DILATE, big)
+    miny = jnp.where(safe, jnp.min(sy, axis=1) - _SCREEN_DILATE, -big)
+    maxy = jnp.where(safe, jnp.max(sy, axis=1) + _SCREEN_DILATE, big)
+    # invalid rows: never-overlap box
+    minx = jnp.where(tri_valid, minx, big)
+    maxx = jnp.where(tri_valid, maxx, -big)
+    miny = jnp.where(tri_valid, miny, big)
+    maxy = jnp.where(tri_valid, maxy, -big)
+
+    boxes = jnp.stack([minx, maxx, miny, maxy], axis=1)  # (T, 4)
+    T = boxes.shape[0]
+    pad = n_leaf * leaf - T
+    empty = jnp.tile(jnp.array([[big, -big, big, -big]], jnp.float32),
+                     (pad, 1))
+    boxes = jnp.concatenate([boxes, empty], axis=0).reshape(n_leaf, leaf, 4)
+    return jnp.stack([
+        jnp.min(boxes[:, :, 0], axis=1), jnp.max(boxes[:, :, 1], axis=1),
+        jnp.min(boxes[:, :, 2], axis=1), jnp.max(boxes[:, :, 3], axis=1),
+    ], axis=1)  # (n_leaf, 4)
+
+
+def _screen_block_mask(leaf_screen, height, width, rows, cols):
+    """(nb, n_leaf) survival mask: does leaf's screen bbox overlap each
+    2D pixel-tile block of the bounce-0 `tile_order` layout?
+
+    Block (ti, tj) covers pixels y in [ti*rows, (ti+1)*rows), x in
+    [tj*cols, (tj+1)*cols); sample coords extend ±0.5 px beyond pixel
+    indices (the jitter range), so tile extents are [lo - 0.5, hi + 0.5).
+    """
+    n_ti, n_tj = height // rows, width // cols
+    ty0 = jnp.arange(n_ti, dtype=jnp.float32)[:, None, None] * rows - 0.5
+    tx0 = jnp.arange(n_tj, dtype=jnp.float32)[None, :, None] * cols - 0.5
+    hit = (
+        (leaf_screen[None, None, :, 0] <= tx0 + cols)
+        & (leaf_screen[None, None, :, 1] >= tx0)
+        & (leaf_screen[None, None, :, 2] <= ty0 + rows)
+        & (leaf_screen[None, None, :, 3] >= ty0)
+    )  # (n_ti, n_tj, n_leaf)
+    return hit.reshape(n_ti * n_tj, -1)
+
+
+def _prepare_scene(packet, config, leaf, screen_cam=None):
+    """Pack the per-scene arrays for `trace` (see `_SceneArrays`).
+
+    ``screen_cam``: optional Camera — also build the per-leaf screen bbox
+    table for bounce-0 screen-space binning (`_leaf_screen_boxes`).
     """
     v0, v1, v2, n0, n1, n2 = packet.world_triangles()
-    R = o.shape[0]
-    B = config.max_depth
-    if lanes is None:
-        lanes = 128 if interpret else _LANES
-    mats = pack_mats(packet.mat_kind, packet.mat_albedo, packet.mat_param)
     scalars = jnp.array(
         [config.t_min, config.t_max, config.det_eps, config.shadow_eps,
          config.pdf_eps, 0.0, 0.0, 0.0], jnp.float32)
-    sky = jnp.concatenate(
-        [packet.sky_bottom, packet.sky_top, jnp.zeros(2, jnp.float32)]
-    ).astype(jnp.float32)
 
     tri_valid, tri_mat = packet.tri_valid, packet.tri_mat
     perm_tri = None
@@ -599,33 +675,114 @@ def trace(key, o, d, packet, config, cull=True, record=False,
         scene_lo = jnp.zeros(3)
         scene_hi = jnp.ones(3)
 
-    # state rows: o d rgb active pad pad; padded rays are dead (active=0)
+    leaf_screen = None
+    if screen_cam is not None and v0.shape[0] > 0:
+        leaf_screen = _leaf_screen_boxes(v0, v1, v2, tri_valid, screen_cam,
+                                         leaf, n_leaf)
+
+    return _SceneArrays(
+        scalars=scalars, tris=tris, boxT8=boxT8, sphs=sphs,
+        sph_tile=sph_tile, n_leaf=n_leaf, scene_lo=scene_lo,
+        scene_hi=scene_hi, perm_tri=perm_tri, leaf_screen=leaf_screen)
+
+
+def tile_order(height: int, width: int, rows: int = 8, cols: int = 64):
+    """Primary-ray permutation: row-major pixels → (rows x cols) 2D tile
+    blocks (tile area = one 512-lane kernel block). Blocked camera frustums
+    are ~2x tighter than pixel-row blocks (see module docstring).
+    Returns None if the image doesn't tile evenly."""
+    if height % rows or width % cols:
+        return None
+    ids = jnp.arange(height * width, dtype=jnp.int32).reshape(height, width)
+    t = ids.reshape(height // rows, rows, width // cols, cols)
+    return t.transpose(0, 2, 1, 3).reshape(-1)
+
+
+def trace(key, o, d, packet, config, cull=True, record=False,
+          interpret=False, tile_hint=None, leaf=_LEAF, lanes=None,
+          screen_cam=None):
+    """Wavefront trace: one sample per ray → linear color (R, 3).
+
+    Bit-identical to `megakernel.trace_fused(key=...)` on the same scene
+    (same threefry uniforms per original ray id; closest-hit is
+    order-independent). With ``record=True`` also returns
+    (sel (B, 4, R), urand (2B, R), tri_perm) in ORIGINAL ray order for the
+    fused backward (`fused_grad`).
+
+    ``tile_hint``: optional (H, W) — primary rays are additionally permuted
+    into 2D pixel-tile blocks for the first bounce.
+    ``screen_cam``: optional Camera. CONTRACT: (o, d) are this camera's
+    jittered per-pixel rays in row-major pixel order (what
+    `pathtracer.sample_image` passes). Bounce 0 then culls by SCREEN-SPACE
+    binning — each pixel-tile block's candidate leaves are the ones whose
+    projected bbox overlaps the tile (`_leaf_screen_boxes`) — instead of
+    the 3D mask kernel; secondary bounces keep the 3D path. Conservative,
+    so the image is unchanged (A/B'd bit-exact vs brute in
+    tests/test_wavefront.py). Requires ``tile_hint``; ignored when the
+    image doesn't tile evenly.
+    ``cull=False`` sweeps every leaf (the brute A/B reference).
+    """
+    R = o.shape[0]
+    B = config.max_depth
+    if lanes is None:
+        lanes = 128 if interpret else _LANES
+    mats = pack_mats(packet.mat_kind, packet.mat_albedo, packet.mat_param)
+    sky = jnp.concatenate(
+        [packet.sky_bottom, packet.sky_top, jnp.zeros(2, jnp.float32)]
+    ).astype(jnp.float32)
+
+    prep = _prepare_scene(packet, config, leaf, screen_cam=screen_cam)
+    scalars, tris, boxT8 = prep.scalars, prep.tris, prep.boxT8
+    sphs, sph_tile, n_leaf = prep.sphs, prep.sph_tile, prep.n_leaf
+    scene_lo, scene_hi, perm_tri = prep.scene_lo, prep.scene_hi, prep.perm_tri
+
+    # state rows: 0-5 o d; 6-8 rgb; 9 active; 10 ORIGINAL ray id (f32 —
+    # exact to 2^24 rays); 11 pad; 12..12+2B-1 this trace's scatter
+    # uniforms. Ids and uniforms RIDE THE SORT: every per-bounce
+    # permutation is then a single wide gather instead of gather-the-state
+    # + gather-the-uniforms + gather-the-perm (measured ~5 ms/bounce of
+    # separate (2, R)/(1, R) gathers at 512^2 — as much as the sort
+    # itself). Padded rays are dead (active=0).
     r_pad = -(-R // lanes) * lanes
     nb = r_pad // lanes
-    state = jnp.concatenate([
-        o.T, d.T, jnp.ones((3, R), jnp.float32),
-        jnp.ones((1, R), jnp.float32), jnp.zeros((2, R), jnp.float32),
-    ], axis=0)
-    state = _pad_to(state, lanes, axis=1)
 
     from ptre_tpu.ops.pallas.megakernel import _build_urand
 
-    urand_full = _pad_to(_build_urand(key, R, B), lanes, axis=1)
+    urand_orig = _build_urand(key, R, B)  # kept for record-mode return
+    state = jnp.concatenate([
+        o.T, d.T, jnp.ones((3, R), jnp.float32),
+        jnp.ones((1, R), jnp.float32),
+    ], axis=0)
+    state = _pad_to(state, lanes, axis=1)
+    state = jnp.concatenate([
+        state,
+        jnp.arange(r_pad, dtype=jnp.float32)[None, :],
+        jnp.zeros((1, r_pad), jnp.float32),
+        _pad_to(urand_orig, lanes, axis=1),
+    ], axis=0)  # (12 + 2B, r_pad)
 
-    # perm maps kernel lane -> original ray id
-    perm = jnp.arange(r_pad, dtype=jnp.int32)
+    screen_mask0 = None
     if tile_hint is not None:
         t_ord = tile_order(tile_hint[0], tile_hint[1], 8, lanes // 8)
         if t_ord is not None and t_ord.shape[0] == R:
-            perm = jnp.concatenate(
+            perm0 = jnp.concatenate(
                 [t_ord, jnp.arange(R, r_pad, dtype=jnp.int32)])
-            state = state[:, perm]
+            state = state[:, perm0]
+            if (cull and prep.leaf_screen is not None and r_pad == R):
+                # bounce-0 screen binning: block bi of the tile order IS
+                # pixel tile (bi // n_tj, bi % n_tj); its candidate leaves
+                # are a 2D bbox overlap — no mask kernel at bounce 0
+                screen_mask0 = _screen_block_mask(
+                    prep.leaf_screen, tile_hint[0], tile_hint[1], 8,
+                    lanes // 8)
 
-    def run_bounce(state, perm, b):
-        ur_b = urand_full[2 * b:2 * b + 2][:, perm]
-        if cull:
+    def run_bounce(state, b):
+        ur_b = state[12 + 2 * b:12 + 2 * b + 2]  # contiguous slice — free
+        if b == 0 and screen_mask0 is not None:
+            short, cnt = _shortlists_from_mask(screen_mask0, n_leaf)
+        elif cull:
             # transposed state for the mask kernel (rays on sublanes)
-            stateT = jnp.pad(state.T, ((0, 0), (0, 4)))
+            stateT = jnp.pad(state[:12].T, ((0, 0), (0, 4)))
             verd = _mask_call(scalars, stateT, boxT8, lanes=lanes,
                               interpret=interpret)
             short, cnt = _shortlists(verd, n_leaf)
@@ -637,10 +794,20 @@ def trace(key, o, d, packet, config, cull=True, record=False,
                 jnp.full((npad - n_leaf + g,), n_leaf, jnp.int32)])
             short = jnp.broadcast_to(row, (nb, 1, row.shape[0]))
             cnt = jnp.full((nb, 1, 1), npad, jnp.int32)
-        return _wave_call(
-            scalars, sky, cnt, short, state, ur_b, tris, sphs, mats,
+        out = _wave_call(
+            scalars, sky, cnt, short, state[:12], ur_b, tris, sphs, mats,
             sph_tile=sph_tile, lanes=lanes, num_mats=packet.num_materials,
             record_sel=record, interpret=interpret, leaf=leaf)
+        if record:
+            out12, sel_b = out
+            return jnp.concatenate([out12, state[12:]], axis=0), sel_b
+        return jnp.concatenate([out, state[12:]], axis=0)
+
+    def scatter_rows(state, rows):
+        """Scatter sorted rows back to original ray order via the id row."""
+        idx = state[10].astype(jnp.int32)
+        return jnp.zeros((rows.shape[0], r_pad), jnp.float32).at[
+            :, idx].set(rows)
 
     sels = []
     for b in range(B):
@@ -649,43 +816,37 @@ def trace(key, o, d, packet, config, cull=True, record=False,
 
             # sort live rays into coherent blocks; skip (lax.cond) once the
             # live fraction is too small to pay the sort's fixed cost
-            def do_sort(args):
-                state, perm = args
+            def do_sort(state):
                 keys = _coherence_key(state, scene_lo, scene_hi)
                 p = jnp.argsort(keys, stable=True)
-                return state[:, p], perm[p]
+                return state[:, p]
 
-            state, perm = jax.lax.cond(
+            state = jax.lax.cond(
                 n_live >= max(int(_SORT_MIN_LIVE * r_pad), 1),
-                do_sort, lambda a: a, (state, perm))
+                do_sort, lambda s: s, state)
 
             # a fully-dead wavefront skips the whole bounce pipeline (mask +
             # compaction + kernel) — the XLA analogue of the megakernel's
             # all-dead `pl.when`
-            def live_bounce(args):
-                state, perm = args
-                return run_bounce(state, perm, b)
+            def live_bounce(state):
+                return run_bounce(state, b)
 
-            def dead_bounce(args):
-                state, perm = args
+            def dead_bounce(state):
                 if record:
                     return state, jnp.zeros((4, r_pad), jnp.float32)
                 return state
 
-            out = jax.lax.cond(n_live > 0, live_bounce, dead_bounce,
-                               (state, perm))
+            out = jax.lax.cond(n_live > 0, live_bounce, dead_bounce, state)
         else:
-            out = run_bounce(state, perm, b)
+            out = run_bounce(state, b)
         if record:
             state, sel_b = out
-            sels.append(
-                jnp.zeros((4, r_pad), jnp.float32).at[:, perm].set(sel_b))
+            sels.append(scatter_rows(state, sel_b))
         else:
             state = out
 
-    color = jnp.zeros((3, r_pad), jnp.float32).at[:, perm].set(state[6:9, :])
-    color = color[:, :R].T
+    color = scatter_rows(state, state[6:9, :])[:, :R].T
     if not record:
         return color
     sel = jnp.stack(sels)[:, :, :R]
-    return color, sel, urand_full[:, :R], perm_tri
+    return color, sel, urand_orig, perm_tri

@@ -95,7 +95,8 @@ def sample_image(key, packet, cam, config: RenderConfig, ray_chunk: int = 0):
             # the VMEM ceiling (docs/PERF.md round-4)
             color = wavefront.trace(rng.fold(key, 0x5EED), origins, dirs,
                                     packet, config,
-                                    tile_hint=(cam.height, cam.width))
+                                    tile_hint=(cam.height, cam.width),
+                                    screen_cam=cam)
             return integrator.postprocess_sample(color, config.clamp_samples)
         # unsupported packet (e.g. >8 materials or too many primitive
         # tiles): fall back to the staged pipeline rather than crash
@@ -114,7 +115,8 @@ def sample_image(key, packet, cam, config: RenderConfig, ray_chunk: int = 0):
 
         color = jax.lax.map(one, (ids, o, d)).reshape(n, 3)
     else:
-        color = integrator.trace(key, origins, dirs, packet, config)
+        color = integrator.trace(key, origins, dirs, packet, config,
+                                 screen_cam=cam)
 
     return integrator.postprocess_sample(color, config.clamp_samples)
 

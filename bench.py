@@ -97,7 +97,7 @@ def _bench_fwdbwd(W, H, steps, scene="demo"):
     import jax.numpy as jnp
     import numpy as np
 
-    from ptre_tpu.ops import camera as cam_ops, path_replay, rng
+    from ptre_tpu.ops import camera as cam_ops, gradsafe, path_replay, rng
     from ptre_tpu.parallel import sharding as sh
     from ptre_tpu.render import pathtracer as pt
     from ptre_tpu.utils.config import RenderConfig
@@ -136,7 +136,7 @@ def _bench_fwdbwd(W, H, steps, scene="demo"):
         # sample-level remat: without it the scan stores every sample's
         # bounce residuals (64 x ~2 GB at 1080p -> OOM); checkpointing
         # keeps one sample's residuals live at a time.
-        body = jax.checkpoint(body)
+        body = jax.checkpoint(body, policy=gradsafe.remat_policy)
         acc, _ = jax.lax.scan(
             body, jnp.zeros((W * H, 3), jnp.float32), jnp.arange(spp))
         return jnp.mean((acc / spp - target) ** 2)
@@ -151,38 +151,21 @@ def _bench_fwdbwd(W, H, steps, scene="demo"):
     if scene == "mixed":
         # config 4's literal 1080p/64spp shape exceeds worker memory as one
         # monolithic remat'd scan (the 16k-tri wavefront residuals are ~10x
-        # the demo's). The EXACT same gradient with O(1-sample) memory: a
-        # forward pass for the 64-sample mean image M, then one
-        # fixed-cotangent vjp per sample (dL/dtheta = sum_s cot . dI_s/
-        # dtheta with cot = 2(M-T)/(N*64)) — validated == the unrolled
-        # monolithic gradient to float precision on the chip.
-        def sample_img(par, k):
-            pk, cm = sh._apply_params(par, pkt, cam)
-            jit = rng.pixel_jitter(rng.fold(k, 0x9E37), (px.shape[0],))
-            o, d = cam_ops.get_rays(cm, px, py, jit)
-            from ptre_tpu.ops import integrator
+        # the demo's). The EXACT same gradient with O(1-sample) memory:
+        # `render.train.two_pass_mse_step` — an on-device forward scan for
+        # the 64-sample mean image, then an on-device fixed-cotangent vjp
+        # scan, ONE dispatch total (round 4 looped 128 dispatches from the
+        # host; validated == the monolithic gradient in
+        # tests/test_train_step.py).
+        from ptre_tpu.render import train
 
-            return integrator.trace(k, o, d, pk, cfg, screen_cam=cm)
-
-        fwd1 = jax.jit(sample_img)
-        lin = jax.jit(jax.grad(
-            lambda par, k, c: jnp.vdot(sample_img(par, k), c)))
-        # warmup/compile both stages
         k64 = rng.fold(key, 0x64)
-        m_img = fwd1(params, rng.fold(k64, 0))
-        _ = lin(params, rng.fold(k64, 0), target)
-        jax.block_until_ready(m_img)
+        _, grads = train.two_pass_mse_step(params, pkt, cam, target, k64,
+                                           cfg, spp=spp64)
+        float(jax.tree.leaves(grads)[0].sum())  # warmup/compile
         t0 = time.perf_counter()
-        m_img = jnp.zeros((W * H, 3), jnp.float32)
-        for s in range(spp64):
-            m_img = m_img + fwd1(params, rng.fold(k64, s))
-        m_img = m_img / spp64
-        cot = 2.0 * (m_img - target) / (target.size * spp64)
-        grads = None
-        for s in range(spp64):
-            gs = lin(params, rng.fold(k64, s), cot)
-            grads = gs if grads is None else jax.tree.map(
-                jnp.add, grads, gs)
+        _, grads = train.two_pass_mse_step(params, pkt, cam, target,
+                                           rng.fold(k64, 1), cfg, spp=spp64)
         float(jax.tree.leaves(grads)[0].sum())
         t64 = time.perf_counter() - t0
         for k2, v in grads.items():

@@ -28,7 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ptre_tpu.ops import materials, rng
+from ptre_tpu.ops import gradsafe, materials, rng
 from ptre_tpu.ops.intersect import closest_hit
 from ptre_tpu.utils.config import RenderConfig
 from ptre_tpu.utils.backend import is_tpu_backend
@@ -150,7 +150,7 @@ def trace(key, origins, directions, packet, config: RenderConfig,
         # keeps only the (o, d, color, active) carry per bounce and recomputes
         # the rest during backward — the "re-intersect instead of storing
         # hits" strategy (SURVEY §7), at ~2x bounce FLOPs.
-        bounce = jax.checkpoint(bounce)
+        bounce = jax.checkpoint(bounce, policy=gradsafe.remat_policy)
 
     R = origins.shape[0]
     init = (

@@ -198,11 +198,16 @@ def triangle_hit_attrs_t(o, d, v0, v1, v2, n0, n1, n2):
     from the gathered triangle keeps gradients w.r.t. geometry flowing
     through an O(R) computation instead of the O(R*T) sweep.
     """
+    from ptre_tpu.ops import gradsafe
+
     e1 = v1 - v0
     e2 = v2 - v0
     pvec = jnp.cross(d, e2)
     det = jnp.einsum("rk,rk->r", e1, pvec)
-    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    # value = the reference 1/det; gradient floored near edge-on
+    # (gradsafe: remat-stable geometry gradients, r4 PERF.md note)
+    inv_det = gradsafe.stable_inv_det(
+        det, jnp.sum(e1 * e1, axis=-1), jnp.sum(e2 * e2, axis=-1))
     tvec = o - v0
     u = jnp.einsum("rk,rk->r", tvec, pvec) * inv_det
     qvec = jnp.cross(tvec, e1)
@@ -212,7 +217,7 @@ def triangle_hit_attrs_t(o, d, v0, v1, v2, n0, n1, n2):
     n = (1.0 - u - v)[:, None] * n0 + u[:, None] * n1 + v[:, None] * n2
     n = vm.normalize(n)
     geo_n = jnp.cross(e1, e2)
-    front = jnp.einsum("rk,rk->r", d, geo_n) < 0.0
+    front = gradsafe.remat_pin(jnp.einsum("rk,rk->r", d, geo_n) < 0.0)
     n = jnp.where(front[:, None], n, -n)
     p = o + t[:, None] * d
     return t, p, n, front
@@ -224,20 +229,25 @@ def sphere_hit_attrs_t(o, d, center, radius, t_min):
     Replays the near/far root rule of `shape.cu:13-46` on the single gathered
     sphere so dt/d(center, radius) exists.
     """
+    from ptre_tpu.ops import gradsafe
+
     oc = center - o
     halfb = jnp.einsum("rk,rk->r", d, oc)
     c = jnp.sum(oc * oc, axis=-1) - radius * radius
     delta = halfb * halfb - c
-    sq = jnp.sqrt(jnp.where(delta > 0.0, delta, 1.0)) * (delta > 0.0)
+    # value = the double-where-guarded root; gradient floored near the
+    # silhouette (gradsafe: remat-stable geometry gradients, r4 PERF.md)
+    sq = gradsafe.stable_sqrt_delta(delta, radius)
     t_near = halfb - sq
-    t = jnp.where(t_near >= t_min, t_near, halfb + sq)
+    near_ok = gradsafe.remat_pin(t_near >= t_min)
+    t = jnp.where(near_ok, t_near, halfb + sq)
     p = o + t[:, None] * d
     # radius==0 rows occur when the unified replay table gathers a triangle
     # row through the sphere-attr path (the result is where'd out, but an
     # unguarded 1/0 would poison gradients through the select)
     r_safe = jnp.where(radius > 0.0, radius, 1.0)
     n = (p - center) / r_safe[:, None]
-    front = jnp.einsum("rk,rk->r", d, n) < 0.0
+    front = gradsafe.remat_pin(jnp.einsum("rk,rk->r", d, n) < 0.0)
     n = jnp.where(front[:, None], n, -n)
     return t, p, n, front
 
@@ -284,11 +294,20 @@ def closest_hit(
     """
     v0, v1, v2, n0, n1, n2 = world_tris
 
+    from ptre_tpu.ops import gradsafe
+
     sg = jax.lax.stop_gradient
     i_tri, hit_tri, i_sph, hit_sph = (sweep_fn or sweep)(
         sg(o), sg(d), jax.tree.map(sg, packet), jax.tree.map(sg, world_tris),
         t_min, t_max, det_eps,
     )
+    # pin the detached selection as a SAVED remat residual: under
+    # `jax.checkpoint(..., policy=gradsafe.remat_policy)` the backward must
+    # re-shade exactly the primitives the forward chose — an ulp-level
+    # recompute difference must not flip a silhouette ray to a different
+    # winner (the round-5 remat-instability mechanism, ops/gradsafe.py)
+    i_tri, hit_tri, i_sph, hit_sph = map(
+        gradsafe.remat_pin, (i_tri, hit_tri, i_sph, hit_sph))
 
     use_sph = hit_sph
     hit = hit_tri | hit_sph

@@ -24,7 +24,7 @@ from __future__ import annotations
 from flax import struct
 import jax.numpy as jnp
 
-from ptre_tpu.ops import rng
+from ptre_tpu.ops import gradsafe, rng
 from ptre_tpu.ops.vecmat import pi
 
 KIND_OREN_NAYAR = 0
@@ -72,7 +72,8 @@ def scatter(
     wi = jnp.einsum("rk,rkj->rj", local, basis)
 
     pdf = jnp.einsum("rk,rk->r", hit_n, wi) / pi
-    degen = pdf < pdf_eps
+    # pinned branch decision (remat-stable backward, ops/gradsafe.py)
+    degen = gradsafe.remat_pin(pdf < pdf_eps)
     wi = jnp.where(degen[:, None], hit_n, wi)
     pdf = jnp.where(degen, 1.0 / pi, pdf)
     cos_weight = jnp.maximum(0.0, jnp.einsum("rk,rk->r", hit_n, wi))
@@ -112,8 +113,10 @@ def scatter(
     sin_a = jnp.sqrt(jnp.where(sin_a_sq > 0.0, sin_a_sq, 1.0)) * (
         sin_a_sq > 0.0)
     tan_b_sq = jnp.maximum(1.0 - cos_b * cos_b, 0.0)
+    # value = the reference sin_b / max(cos_b, 1e-6); gradient floored at
+    # grazing incidence (gradsafe: remat-stable gradients, r4 PERF.md)
     tan_b = jnp.sqrt(jnp.where(tan_b_sq > 0.0, tan_b_sq, 1.0)) * (
-        tan_b_sq > 0.0) / jnp.maximum(cos_b, 1e-6)
+        tan_b_sq > 0.0) * gradsafe.stable_recip_cos(cos_b)
 
     coeff = A + B * cos_dphi * sin_a * tan_b
     on_attenuation = mat_albedo * (coeff / pi)[:, None]

@@ -449,7 +449,17 @@ def trace_grad(key, o, d, packet, config, interpret=None, force=None,
 
     Ltot = sel_p.shape[2]
     rays_p = _pack_rays_planar(o, d, Ltot)
-    lanes = next(c for c in _BWD_LANES if Ltot % c == 0)
+    # Lane-width cap at triangle scale x megapixel rays: with a multi-tile
+    # table AND a megapixel grid the 384-lane backward's Mosaic stack
+    # exceeds the 16 MiB scoped-vmem limit (measured +912 KiB at the
+    # 128-tile config-4 table, 1080p — while the same table at 512^2 and
+    # the demo table at 1080p both compile fine at 384). 256 lanes fits
+    # and beats 128 there (6.60 vs 5.91 Mrays/s fwd+vjp, round 5).
+    n_tab_tiles = -(-table.shape[0] // _TAB_TILE)
+    cands = _BWD_LANES
+    if n_tab_tiles > 4 and Ltot > 65536:
+        cands = tuple(c for c in _BWD_LANES if c <= 256)
+    lanes = next(c for c in cands if Ltot % c == 0)
     core = _make_core(config.max_depth, float(config.t_min),
                       float(config.shadow_eps), float(config.pdf_eps),
                       int(T), int(R), lanes, bool(interpret))

@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ptre_tpu.ops import gradsafe
+
 _PI = 3.14159265358979
 _TAU = 2.0 * _PI
 
@@ -77,7 +79,12 @@ def _chain_bounce(o, d, c, active, gb, flag_b, ur_b, sky, *, t_min,
         pvy = dz * e2x - dx * e2z
         pvz = dx * e2y - dy * e2x
         det = e1x * pvx + e1y * pvy + e1z * pvz
-        inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+        # value-exact, gradient floored near edge-on (ops.gradsafe — keeps
+        # the in-kernel vjp's geometry gradients remat-stable and
+        # formula-identical to intersect.triangle_hit_attrs_t)
+        inv_det = gradsafe.stable_inv_det(
+            det, e1x * e1x + e1y * e1y + e1z * e1z,
+            e2x * e2x + e2y * e2y + e2z * e2z)
         tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
         u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
         qvx = tvy * e1z - tvz * e1y
@@ -111,7 +118,8 @@ def _chain_bounce(o, d, c, active, gb, flag_b, ur_b, sky, *, t_min,
         halfb = dx * ocx + dy * ocy + dz * ocz
         c_ = ocx * ocx + ocy * ocy + ocz * ocz - sr * sr
         delta = halfb * halfb - c_
-        sq = jnp.sqrt(jnp.where(delta > 0.0, delta, 1.0)) * (delta > 0.0)
+        # value-exact, gradient floored near the silhouette (ops.gradsafe)
+        sq = gradsafe.stable_sqrt_delta(delta, sr)
         t_near = halfb - sq
         t_sph = jnp.where(t_near >= t_min, t_near, halfb + sq)
         p_sx = ox + t_sph * dx
@@ -196,8 +204,9 @@ def _chain_bounce(o, d, c, active, gb, flag_b, ur_b, sky, *, t_min,
         sin_a = jnp.sqrt(jnp.where(sin_a_sq > 0.0, sin_a_sq, 1.0)) * (
             sin_a_sq > 0.0)
         tan_b_sq = jnp.maximum(1.0 - cos_b * cos_b, 0.0)
+        # value-exact, gradient floored at grazing incidence (ops.gradsafe)
         tan_b = jnp.sqrt(jnp.where(tan_b_sq > 0.0, tan_b_sq, 1.0)) * (
-            tan_b_sq > 0.0) / jnp.maximum(cos_b, 1e-6)
+            tan_b_sq > 0.0) * gradsafe.stable_recip_cos(cos_b)
         coeff = (A + B_ * cos_dphi * sin_a * tan_b) * jnp.float32(1.0 / _PI)
 
         att_r = jnp.where(is_emissive, param * alb_r, alb_r * coeff)

@@ -35,6 +35,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ptre_tpu.ops import gradsafe
 from ptre_tpu.ops import rng as _rng
 from ptre_tpu.ops.intersect import sphere_hit_attrs_t, triangle_hit_attrs_t
 from ptre_tpu.utils.config import RenderConfig
@@ -58,7 +59,8 @@ def _scatter_from_uniforms(n, d, u1, u2, pdf_eps):
     lz = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
 
     nx, ny, nz = n[:, 0], n[:, 1], n[:, 2]
-    big_x = jnp.abs(nx) > 0.9
+    # pinned branch decisions (remat-stable backward, ops/gradsafe.py)
+    big_x = gradsafe.remat_pin(jnp.abs(nx) > 0.9)
     ax = jnp.where(big_x, 0.0, 1.0)
     ay = jnp.where(big_x, 1.0, 0.0)
     vx = -nz * ay
@@ -79,7 +81,7 @@ def _scatter_from_uniforms(n, d, u1, u2, pdf_eps):
 
     ndotwi = nx * wix + ny * wiy + nz * wiz
     pdf = ndotwi * jnp.float32(1.0 / _PI)
-    degen = pdf < pdf_eps
+    degen = gradsafe.remat_pin(pdf < pdf_eps)
     wix = jnp.where(degen, nx, wix)
     wiy = jnp.where(degen, ny, wiy)
     wiz = jnp.where(degen, nz, wiz)
@@ -114,8 +116,9 @@ def _oren_nayar_coeff(n, d, wi, cosw, sigma):
     sin_a = jnp.sqrt(jnp.where(sin_a_sq > 0.0, sin_a_sq, 1.0)) * (
         sin_a_sq > 0.0)
     tan_b_sq = jnp.maximum(1.0 - cos_b * cos_b, 0.0)
+    # value-exact, gradient floored at grazing incidence (gradsafe)
     tan_b = jnp.sqrt(jnp.where(tan_b_sq > 0.0, tan_b_sq, 1.0)) * (
-        tan_b_sq > 0.0) / jnp.maximum(cos_b, 1e-6)
+        tan_b_sq > 0.0) * gradsafe.stable_recip_cos(cos_b)
     return (A + B * cos_dphi * sin_a * tan_b) * jnp.float32(1.0 / _PI)
 
 

@@ -93,8 +93,10 @@ def onb_from_normal(n):
     """
     len_sq = jnp.sum(n * n, axis=-1, keepdims=True)
     w = n * jnp.where(len_sq > 0, jax.lax.rsqrt(jnp.where(len_sq > 0, len_sq, 1.0)), 0.0)
+    from ptre_tpu.ops import gradsafe
+
     a = jnp.where(
-        (jnp.abs(w[..., 0]) > 0.9)[..., None],
+        gradsafe.remat_pin(jnp.abs(w[..., 0]) > 0.9)[..., None],
         jnp.array([0.0, 1.0, 0.0], jnp.float32),
         jnp.array([1.0, 0.0, 0.0], jnp.float32),
     )

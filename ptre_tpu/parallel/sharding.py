@@ -30,7 +30,7 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ptre_tpu.ops import camera as cam_ops
-from ptre_tpu.ops import integrator, rng
+from ptre_tpu.ops import gradsafe, integrator, rng
 from ptre_tpu.render import pathtracer as pt
 from ptre_tpu.utils.config import RenderConfig
 
@@ -279,7 +279,7 @@ def shard_train_step(
                 # sample-level remat: keep ONE sample's backward residuals
                 # live at a time (the scan would otherwise store local_spp of
                 # them — OOM at 1080p x 64spp on a 16 GB chip)
-                body = jax.checkpoint(body)
+                body = jax.checkpoint(body, policy=gradsafe.remat_policy)
 
             acc, _ = jax.lax.scan(
                 body, jnp.zeros((rows, cam.width, 3), jnp.float32),
@@ -416,7 +416,7 @@ def dual_train_step(mesh: Mesh, params, packet, raster_packet,
             acc, _ = body(jnp.zeros((rows, cam.width, 3), jnp.float32), 0)
         else:
             if config.remat_bounces:
-                body = jax.checkpoint(body)
+                body = jax.checkpoint(body, policy=gradsafe.remat_policy)
             acc, _ = jax.lax.scan(
                 body, jnp.zeros((rows, cam.width, 3), jnp.float32),
                 jnp.arange(local_spp))

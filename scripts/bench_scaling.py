@@ -126,36 +126,58 @@ def main():
     from ptre_tpu.ops.intersect import closest_hit
     from ptre_tpu.render import pathtracer as pt
 
-    Hs, Ws = 64, 64
-    scn = demo.reference_demo_scene(8, 4)
-    pkt = scn.build_packet()
-    cam = cam_ops.Camera.create(width=Ws, height=Hs)
-    px, py = pt.pixel_grid(Hs, Ws)
-    o, d = cam_ops.get_rays(cam, px, py, jnp.zeros((px.shape[0], 2)))
-    hit = closest_hit(o, d, pkt, pkt.world_triangles(), 1e-3, 1e9, 1e-9).hit
-    row_work = jnp.mean(
-        hit.reshape(Hs, Ws).astype(jnp.float32), axis=1) + 0.1  # + sky floor
-    dp = args.max_devices
+    def row_work_for(Hs, Ws):
+        """Per-row work proxy at (Hs, Ws): geometry-hit fraction + sky floor.
+        Row-chunked so the (rays x primitives) intermediate stays bounded
+        at 1080p on the CPU host."""
+        scn = demo.reference_demo_scene(8, 4)
+        pkt = scn.build_packet()
+        cam = cam_ops.Camera.create(width=Ws, height=Hs)
+        wtris = pkt.world_triangles()
+        rows = []
+        chunk = max(1, (1 << 20) // Ws)  # ~1M rays per slab
+        for y0 in range(0, Hs, chunk):
+            ys = min(chunk, Hs - y0)
+            py_, px_ = jnp.meshgrid(
+                jnp.arange(y0, y0 + ys, dtype=jnp.float32),
+                jnp.arange(Ws, dtype=jnp.float32), indexing="ij")
+            o, d = cam_ops.get_rays(cam, px_.reshape(-1), py_.reshape(-1),
+                                    jnp.zeros((ys * Ws, 2)))
+            hit = closest_hit(o, d, pkt, wtris, 1e-3, 1e9, 1e-9).hit
+            rows.append(jnp.mean(
+                hit.reshape(ys, Ws).astype(jnp.float32), axis=1))
+        return jnp.concatenate(rows) + 0.1
 
-    def spread(order):
+    def spread(row_work, Hs, dp, order):
         loads = []
         for i in range(dp):
             ys = (sh.shard_row_ids(i, sh.padded_height(Hs, dp) // dp, dp,
                                    order)).astype(int)
-            loads.append(float(row_work[jnp.clip(ys, 0, Hs - 1)].sum()))
+            # pad rows (odd heights) carry zero work
+            w = jnp.where(ys < Hs, row_work[jnp.clip(ys, 0, Hs - 1)], 0.0)
+            loads.append(float(w.sum()))
         mean = sum(loads) / len(loads)
-        return {"order": order, "per_chip_load": [round(x, 3) for x in loads],
+        return {"order": order, "devices": dp,
+                "per_chip_load": [round(x, 3) for x in loads],
                 "max_over_mean": round(max(loads) / mean, 4)}
 
+    dp = args.max_devices
+    rw_small = row_work_for(64, 64)
     results["row_load_balance"] = {
         "note": (
-            "per-chip sum of per-row geometry-hit fraction (demo scene, "
-            "64x64, dp=%d): 'block' concentrates cheap sky rows on some "
-            "chips; the default 'strided' round-robin assignment "
-            "equalizes it — max/mean load is the weak-scaling efficiency "
-            "bound" % dp),
-        "block": spread("block"),
-        "strided": spread("strided"),
+            "per-chip sum of per-row geometry-hit fraction (demo scene): "
+            "'block' concentrates cheap sky rows on some chips; the default "
+            "'strided' round-robin assignment equalizes it — max/mean load "
+            "is the weak-scaling efficiency bound"),
+        "block": spread(rw_small, 64, dp, "block"),
+        "strided": spread(rw_small, 64, dp, "strided"),
+    }
+    # the >=85% argument at the BASELINE image scale (round-4 VERDICT #9):
+    # the same spread at 1080p, strided, for dp in {8, 16, 32}
+    rw_1080 = row_work_for(1080, 1920)
+    results["row_load_balance"]["at_1080p"] = {
+        "strided": [spread(rw_1080, 1080, n, "strided") for n in (8, 16, 32)],
+        "block": [spread(rw_1080, 1080, n, "block") for n in (8, 16, 32)],
     }
 
     os.makedirs("docs/artifacts", exist_ok=True)

@@ -198,7 +198,10 @@ class ScenePacket:
         n0 = jnp.einsum("ti,tij->tj", self.tri_n0, nm)
         n1 = jnp.einsum("ti,tij->tj", self.tri_n1, nm)
         n2 = jnp.einsum("ti,tij->tj", self.tri_n2, nm)
-        return v0, v1, v2, n0, n1, n2
+        # pinned as remat residuals — O(T) floats; see ops/gradsafe.py
+        from ptre_tpu.ops import gradsafe
+
+        return tuple(gradsafe.remat_pin(x) for x in (v0, v1, v2, n0, n1, n2))
 
 
 def _rowvec(p, tf):

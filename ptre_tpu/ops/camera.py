@@ -117,4 +117,10 @@ def get_rays(cam: Camera, px, py, jitter):
     world_far = vm.transform_points(view_far, inv_view)
 
     direction = vm.normalize(world_far - world_near)
-    return world_near, direction
+    # pinned as float remat residuals: primary rays are the root of every
+    # downstream Jacobian; saving them (6 floats/ray, once per sample)
+    # keeps the rematerialized backward's linearization point bit-equal to
+    # the forward's (ops/gradsafe.py). Identity outside jax.checkpoint.
+    from ptre_tpu.ops import gradsafe
+
+    return gradsafe.remat_pin(world_near), gradsafe.remat_pin(direction)

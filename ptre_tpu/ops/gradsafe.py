@@ -18,20 +18,32 @@ too), so rays within O(tau) of the singular set carry astronomically
 high-variance gradient samples — pure noise to SGD, and the entire
 remat-instability budget.
 
-The fix used here is the straight-through pattern
+Two complementary mechanisms live here (the round-5 bisection separated
+them — see `tests/test_grad_conditioning.py`):
 
-    stable + stop_gradient(forward - stable)
+1. **Heavy-tail clamps** — the straight-through pattern
 
-which keeps the VALUE bit-identical to the reference formula (golden
-images and forward parity untouched) while routing the GRADIENT through a
-tau-floored denominator: exact wherever the denominator clears ``tau``
-(the clamp's gradient-path ``max`` passes the original derivative), and
-zero inside the tau-neighborhood of the singularity (the max's gradient
-w.r.t. the small operand is zero — gradient clipping at the source,
-standard practice in differentiable rasterization/path tracing for
-detached estimators). With the clamps in place, plain-vs-remat'd
-geometry gradients agree at the norm level like materials always did
-(`tests/test_grad_conditioning.py` pins the bound).
+       stable + stop_gradient(forward - stable)
+
+   keeps the VALUE bit-identical to the reference formula (golden images
+   and forward parity untouched) while routing the GRADIENT through a
+   tau-floored denominator: exact wherever the denominator clears ``tau``,
+   zero inside the tau-neighborhood of the singularity (gradient clipping
+   at the source — standard for detached estimators, and a variance
+   reduction for SGD). These bound the TRUE gradient tails; measured
+   alone they did NOT fix remat instability.
+
+2. **Remat pins** (`remat_pin` + `remat_policy`) — what actually fixes
+   remat: under `jax.checkpoint` the backward re-linearizes the chain at
+   an ulp-shifted recompute point, and the heavy-tailed Jacobians turn
+   that into percent-level gradient movement (`everything_saveable`
+   agreed to 1e-8; any recompute diverged 7-40 %). Pinning the O(R)
+   ray-geometry floats (primary rays, hit t/p/n, scatter direction, world
+   triangles) and every discrete branch decision as SAVED residuals makes
+   every recomputed sub-chain re-linearize from bit-equal inputs, while
+   the memory-dominant O(R*P) sweep still rematerializes. Measured:
+   config-2 geometry gradients remat-vs-plain 24-43 % -> 1.2-2.9 %
+   per-leaf norm-relative; materials/sky 3e-3 -> 1e-4.
 
 Every differentiable copy of the chain applies the same forms —
 `ops.intersect` (staged + XLA replay), `ops.materials` (staged shading),
@@ -84,6 +96,26 @@ def remat_pin(x):
     from jax.ad_checkpoint import checkpoint_name
 
     return checkpoint_name(x, _PIN)
+
+
+def cosine_ratio(cosw, pdf):
+    """`cos_weight / pdf` with its EXACT analytic gradient (= zero).
+
+    For the cosine-weighted hemisphere BSDF the ratio is IDENTICALLY a
+    constant in every branch: pdf = (n.wi)/pi with cos_weight = n.wi
+    (regular), and pdf = 1/pi with cos_weight = 1 (degenerate fallback),
+    so cos_weight/pdf === pi; the emissive branch sets both to 1. The
+    value is still computed as the reference's float division
+    (`path_tracer.cu:320-326` parity), but the autodiff'd backward
+    evaluates (pdf d cosw - cosw d pdf)/pdf^2 — a cancellation XLA happens
+    to resolve exactly today (the round-5 A/B measured bit-identical
+    gradients with and without the detach), but whose exactness depends on
+    CSE producing identical roundings for both product terms; any fusion
+    change would turn it into roundoff amplified by 1/pdf^2 (up to 1e10 at
+    the pdf_eps boundary). Detaching the ratio IS the exact derivative of
+    the mathematical quantity, independent of compiler behavior.
+    """
+    return jax.lax.stop_gradient(cosw / pdf)
 
 
 def stable_recip_cos(cos_b):

@@ -133,7 +133,10 @@ def trace(key, origins, directions, packet, config: RenderConfig,
         sky = materials.sky_attenuation(d, packet.sky_bottom, packet.sky_top)
 
         # factor for this bounce: scatter term on hit, sky on miss
-        hit_factor = (srec.cos_weight / srec.pdf)[:, None] * srec.attenuation
+        # the cos/pdf ratio is analytically constant — detached value is
+        # its exact gradient AND the dominant remat-noise fix (gradsafe)
+        hit_factor = gradsafe.cosine_ratio(
+            srec.cos_weight, srec.pdf)[:, None] * srec.attenuation
         factor = jnp.where(hit.hit[:, None], hit_factor, sky)
         color = color * jnp.where(active[:, None], factor, 1.0)
 

@@ -336,7 +336,15 @@ def closest_hit(
     front = jnp.where(use_sph, f_sph, f_tri)
     mat_id = jnp.where(use_sph, packet.sph_mat[i_sph], packet.tri_mat[i_tri])
 
+    # pin the FLOAT hit state too (not just the selections): under remat
+    # the backward otherwise re-linearizes the heavy-tailed attr Jacobians
+    # at an ulp-shifted recompute point, which measurably moves geometry
+    # gradients (round-5 bisection: everything_saveable agreed to 1e-8,
+    # any recompute diverged % -level; see ops/gradsafe.py). Saving
+    # (t, p, n) is O(R) floats per bounce -- noise next to the O(R*P)
+    # sweep the policy still recomputes.
     return HitRecord(
-        t=t, position=position, normal=normal, front_face=front,
+        t=gradsafe.remat_pin(t), position=gradsafe.remat_pin(position),
+        normal=gradsafe.remat_pin(normal), front_face=front,
         mat_id=mat_id, hit=hit,
     )

@@ -74,7 +74,10 @@ def scatter(
     pdf = jnp.einsum("rk,rk->r", hit_n, wi) / pi
     # pinned branch decision (remat-stable backward, ops/gradsafe.py)
     degen = gradsafe.remat_pin(pdf < pdf_eps)
-    wi = jnp.where(degen[:, None], hit_n, wi)
+    # the scatter direction is pinned as a float residual for the same
+    # linearization-point stability (ops/gradsafe.py); everything derived
+    # from (pinned n, pinned wi) recomputes bit-stably
+    wi = gradsafe.remat_pin(jnp.where(degen[:, None], hit_n, wi))
     pdf = jnp.where(degen, 1.0 / pi, pdf)
     cos_weight = jnp.maximum(0.0, jnp.einsum("rk,rk->r", hit_n, wi))
 

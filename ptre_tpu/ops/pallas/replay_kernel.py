@@ -212,7 +212,8 @@ def _chain_bounce(o, d, c, active, gb, flag_b, ur_b, sky, *, t_min,
         att_r = jnp.where(is_emissive, param * alb_r, alb_r * coeff)
         att_g = jnp.where(is_emissive, param * alb_g, alb_g * coeff)
         att_b = jnp.where(is_emissive, param * alb_b, alb_b * coeff)
-        w_pdf = jnp.where(is_emissive, 1.0, cosw / pdf)
+        # exact-gradient constant ratio (ops.gradsafe.cosine_ratio)
+        w_pdf = jnp.where(is_emissive, 1.0, gradsafe.cosine_ratio(cosw, pdf))
 
         a_sky = (dy + 1.0) * 0.5
         sky_r = (1.0 - a_sky) * sbr + a_sky * str_

@@ -502,6 +502,26 @@ def _wave_call(scalars, sky, cnt, short, state, urand, tris, sphs, mats, *,
     )(scalars, sky, cnt, short, state, urand, tris, sphs, mats)
 
 
+#: rays per sort unit: the coherence sort orders GROUPS of 8 consecutive
+#: rays by the min (most-coherent live) member key instead of individual
+#: rays — an 8x smaller argsort (the sort was 73 ms/bounce of the 177 ms
+#: bounce total at 1080p, scripts/bench_wavefront_breakdown.py). Group
+#: members were coherent under the PREVIOUS bounce's order, so the block
+#: slab-union loses little precision; results are bit-identical either
+#: way (any permutation is correct — uniforms/ids ride the state).
+_SORT_GROUP = 8
+
+
+def _group_perm(keys):
+    """(r_pad,) keys -> ray permutation that sorts 8-ray groups by their
+    min member key (dead rays carry the max key, so all-dead groups sink
+    and any-live groups sort by their most coherent member)."""
+    g = keys.reshape(-1, _SORT_GROUP)
+    pg = jnp.argsort(jnp.min(g, axis=1), stable=True)
+    return (pg[:, None] * _SORT_GROUP
+            + jnp.arange(_SORT_GROUP, dtype=pg.dtype)[None, :]).reshape(-1)
+
+
 def _coherence_key(state, lo, hi):
     """Sort key for one bounce's rays: dead rays last, then direction
     octant + 6-bit xy direction bins + 15-bit origin Morton cell. int32."""
@@ -799,8 +819,14 @@ def trace(key, o, d, packet, config, cull=True, record=False,
             sph_tile=sph_tile, lanes=lanes, num_mats=packet.num_materials,
             record_sel=record, interpret=interpret, leaf=leaf)
         if record:
+            # recorded selections RIDE THE STATE from here on: later
+            # bounces' sort permutations carry them along, and ONE final
+            # scatter returns everything to original ray order — the
+            # round-4 per-bounce scatter_rows cost ~84 ms x bounce at
+            # 1080p (record_fwd 1348 vs fwd 929 ms,
+            # scripts/bench_wavefront_breakdown.py)
             out12, sel_b = out
-            return jnp.concatenate([out12, state[12:]], axis=0), sel_b
+            return jnp.concatenate([out12, state[12:], sel_b], axis=0)
         return jnp.concatenate([out, state[12:]], axis=0)
 
     def scatter_rows(state, rows):
@@ -809,16 +835,16 @@ def trace(key, o, d, packet, config, cull=True, record=False,
         return jnp.zeros((rows.shape[0], r_pad), jnp.float32).at[
             :, idx].set(rows)
 
-    sels = []
+    base_rows = 12 + 2 * B  # sel rows accumulate after these
     for b in range(B):
         if b > 0:
             n_live = jnp.sum(state[9, :] > 0.5)
 
-            # sort live rays into coherent blocks; skip (lax.cond) once the
-            # live fraction is too small to pay the sort's fixed cost
+            # sort live rays into coherent 8-ray groups; skip (lax.cond)
+            # once the live fraction is too small to pay the sort's cost
             def do_sort(state):
                 keys = _coherence_key(state, scene_lo, scene_hi)
-                p = jnp.argsort(keys, stable=True)
+                p = _group_perm(keys)
                 return state[:, p]
 
             state = jax.lax.cond(
@@ -833,20 +859,20 @@ def trace(key, o, d, packet, config, cull=True, record=False,
 
             def dead_bounce(state):
                 if record:
-                    return state, jnp.zeros((4, r_pad), jnp.float32)
+                    return jnp.concatenate(
+                        [state, jnp.zeros((4, r_pad), jnp.float32)], axis=0)
                 return state
 
-            out = jax.lax.cond(n_live > 0, live_bounce, dead_bounce, state)
+            state = jax.lax.cond(n_live > 0, live_bounce, dead_bounce, state)
         else:
-            out = run_bounce(state, b)
-        if record:
-            state, sel_b = out
-            sels.append(scatter_rows(state, sel_b))
-        else:
-            state = out
+            state = run_bounce(state, b)
 
-    color = scatter_rows(state, state[6:9, :])[:, :R].T
     if not record:
-        return color
-    sel = jnp.stack(sels)[:, :, :R]
+        return scatter_rows(state, state[6:9, :])[:, :R].T
+
+    # one scatter for color + every bounce's selections together
+    packed = scatter_rows(state, jnp.concatenate(
+        [state[6:9, :], state[base_rows:, :]], axis=0))[:, :R]
+    color = packed[:3].T
+    sel = packed[3:].reshape(B, 4, R)
     return color, sel, urand_orig, perm_tri

@@ -336,7 +336,8 @@ def replay(o, d, sel, urand, packet, config: RenderConfig, backend="auto"):
         att = jnp.where(
             is_emissive[:, None], param[:, None] * albedo, albedo * coeff[:, None]
         )
-        w_pdf = jnp.where(is_emissive, 1.0, cosw / pdf)
+        # exact-gradient constant ratio (ops.gradsafe.cosine_ratio)
+        w_pdf = jnp.where(is_emissive, 1.0, gradsafe.cosine_ratio(cosw, pdf))
 
         a_sky = (d[:, 1] + 1.0) * 0.5
         sky = (1.0 - a_sky)[:, None] * sky_b + a_sky[:, None] * sky_t

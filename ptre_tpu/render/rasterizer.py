@@ -273,3 +273,27 @@ def raster_rows(packet, cam, config: RasterConfig, y0, rows,
 def rasterize_jit(packet, cam, config, soft=False, sigma=0.5, row_chunk=0,
                   backend="auto"):
     return rasterize(packet, cam, config, soft, sigma, row_chunk, backend)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "backend"))
+def rasterize_frames(packet, cam, frame_transforms, config, backend="auto"):
+    """Render K frames in ONE device dispatch → (K, H, W, 3).
+
+    ``frame_transforms``: (K, D, 4, 4) — one per-drawcall transform set per
+    frame (the reference's per-frame animation state, `rasterizer.cu:
+    155-169`); frame k renders ``packet.replace(transforms=
+    frame_transforms[k])`` via `lax.scan`, so the whole sequence costs one
+    dispatch. This is the CLI frame-sequence path's batched form: the
+    r4 ablation pinned a fixed ~14.6 ms per-dispatch floor on the tunneled
+    platform (grid-size invariant, empty-kernel measurable) that dominates
+    the ~3.7 ms marginal frame cost at 720p ss=2 — batching K >= 4 frames
+    amortizes the floor below the reference's 16.7 ms vsync budget
+    (`Present(1,0)`, `rasterizer.cu:149`; docs/artifacts/
+    RASTER_AMORTIZED.json)."""
+    def body(carry, tr):
+        img = rasterize(packet.replace(transforms=tr), cam, config,
+                        backend=backend)
+        return carry, img
+
+    _, imgs = jax.lax.scan(body, 0, frame_transforms)
+    return imgs

@@ -164,3 +164,29 @@ def test_soft_rasterizer_differentiable_silhouette():
     eps = 1e-2
     fd = (loss(jnp.float32(eps)) - loss(jnp.float32(-eps))) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=0.2, atol=1e-4)
+
+
+def test_rasterize_frames_matches_per_frame():
+    """K-frames-per-dispatch (`rasterize_frames`) == K single rasterize
+    calls frame-for-frame — the amortized-vsync path must not change
+    images (round-5; docs/artifacts/RASTER_AMORTIZED.json)."""
+    from ptre_tpu.ops import vecmat as vm
+
+    scn = demo.reference_demo_scene(8, 4)
+    pkt = scn.build_packet(spheres_as_triangles=True)
+    cam = _cam(32, 32, position=(0.0, 2.0, -9.0))
+    cfg = _cfg(32, 32)
+
+    frames = []
+    for f in range(3):
+        tf = pkt.transforms
+        rot = vm.rotation_y(jnp.float32(0.1 * f))
+        frames.append(tf.at[-1].set(rot @ tf[-1]))
+    seq = jnp.stack(frames)
+
+    batched = ras.rasterize_frames(pkt, cam, seq, cfg, backend="xla")
+    for f in range(3):
+        one = ras.rasterize(pkt.replace(transforms=seq[f]), cam, cfg,
+                            backend="xla")
+        np.testing.assert_allclose(np.asarray(batched[f]), np.asarray(one),
+                                   rtol=1e-6, atol=1e-6)

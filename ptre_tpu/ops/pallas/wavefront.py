@@ -502,26 +502,6 @@ def _wave_call(scalars, sky, cnt, short, state, urand, tris, sphs, mats, *,
     )(scalars, sky, cnt, short, state, urand, tris, sphs, mats)
 
 
-#: rays per sort unit: the coherence sort orders GROUPS of 8 consecutive
-#: rays by the min (most-coherent live) member key instead of individual
-#: rays — an 8x smaller argsort (the sort was 73 ms/bounce of the 177 ms
-#: bounce total at 1080p, scripts/bench_wavefront_breakdown.py). Group
-#: members were coherent under the PREVIOUS bounce's order, so the block
-#: slab-union loses little precision; results are bit-identical either
-#: way (any permutation is correct — uniforms/ids ride the state).
-_SORT_GROUP = 8
-
-
-def _group_perm(keys):
-    """(r_pad,) keys -> ray permutation that sorts 8-ray groups by their
-    min member key (dead rays carry the max key, so all-dead groups sink
-    and any-live groups sort by their most coherent member)."""
-    g = keys.reshape(-1, _SORT_GROUP)
-    pg = jnp.argsort(jnp.min(g, axis=1), stable=True)
-    return (pg[:, None] * _SORT_GROUP
-            + jnp.arange(_SORT_GROUP, dtype=pg.dtype)[None, :]).reshape(-1)
-
-
 def _coherence_key(state, lo, hi):
     """Sort key for one bounce's rays: dead rays last, then direction
     octant + 6-bit xy direction bins + 15-bit origin Morton cell. int32."""
@@ -840,11 +820,15 @@ def trace(key, o, d, packet, config, cull=True, record=False,
         if b > 0:
             n_live = jnp.sum(state[9, :] > 0.5)
 
-            # sort live rays into coherent 8-ray groups; skip (lax.cond)
-            # once the live fraction is too small to pay the sort's cost
+            # sort live rays into coherent blocks; skip (lax.cond) once the
+            # live fraction is too small to pay the sort's fixed cost.
+            # (Round-5 A/B: 8-ray-group sort keys (_group_perm) cut the
+            # argsort 8x but cost 2.5x MORE overall — the blocks span more
+            # direction octants and the sweep pays ~200 ms/bounce extra
+            # against the sort's 73 ms. Full per-ray sort kept.)
             def do_sort(state):
                 keys = _coherence_key(state, scene_lo, scene_hi)
-                p = _group_perm(keys)
+                p = jnp.argsort(keys, stable=True)
                 return state[:, p]
 
             state = jax.lax.cond(

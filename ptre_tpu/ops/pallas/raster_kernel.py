@@ -254,8 +254,8 @@ def _tile_shortlists(cbox, n_ti, n_tj, th, tw):
 
 def _raster_kernel(
     scal_ref,  # SMEM f32 (16,): ambient rgb, albedo rgb, light xyz, clear rgb
-    sl_ref,  # SMEM (1, n_chunks) i32: THIS tile's hit-chunk shortlist
-    cnt_ref,  # SMEM (1, 1) i32: valid shortlist entries for this tile
+    sl_ref,  # SMEM (1, 1, n_chunks) i32: THIS tile's hit-chunk shortlist
+    cnt_ref,  # SMEM (1, 1, 1) i32: valid shortlist entries for this tile
     tri_ref,  # VMEM (T_pad, 32): the WHOLE triangle table, resident
     out_ref,  # VMEM (3, th, tw) shaded tile
     zb_ref,  # scratch (th, tw): z-buffer
@@ -303,7 +303,7 @@ def _raster_kernel(
         # per-chunk scalar gate. (r3/r4 history: a per-row bbox `pl.when`
         # gate was tried and measured SLOWER; the r4 per-chunk gate loop
         # itself cost ~0.3 µs per REJECTED chunk, which this removes.)
-        k = sl_ref[0, t]
+        k = sl_ref[0, 0, t]
         base = k * _TRI_CHUNK
         blk_all = tri_ref[pl.dslice(base, _TRI_CHUNK), :]  # (_TRI_CHUNK, 32)
 
@@ -347,7 +347,7 @@ def _raster_kernel(
             row_pass(r, ty0 + float(r) + 0.5)
         return carry
 
-    jax.lax.fori_loop(0, cnt_ref[0, 0], chunk_body, 0)
+    jax.lax.fori_loop(0, cnt_ref[0, 0, 0], chunk_body, 0)
 
     # ---- deferred winner gather: one one-hot matmul per chunk in the ----
     # [min, max] winner-index range (Morton-compact winners span only a
@@ -425,8 +425,13 @@ def _raster_call(scalars, cbox, tris, height_ss, width_ss, th, lanes,
     n_ti, n_tj = height_ss // th, width_ss // lanes
     sl, cnt = _tile_shortlists(cbox, n_ti, n_tj, th, lanes)
     n_chunks = sl.shape[-1]
-    sl = sl.reshape(n_ti * n_tj, -1)
-    cnt = cnt.reshape(n_ti * n_tj, 1)
+    # 3D (n_tiles, 1, n_chunks): leading dims carry the per-tile block
+    # index (no tiling constraint), and the BLOCKED trailing two dims equal
+    # the array dims exactly — Mosaic requires last-two block dims to be
+    # (8, 128)-divisible or array-equal, which a 2D (1, n_chunks) block of
+    # a (n_tiles, n_chunks) array violates
+    sl = sl.reshape(n_ti * n_tj, 1, -1)
+    cnt = cnt.reshape(n_ti * n_tj, 1, 1)
     out = pl.pallas_call(
         functools.partial(_raster_kernel, th=th, lanes=lanes),
         grid=(n_ti, n_tj),
@@ -435,9 +440,9 @@ def _raster_call(scalars, cbox, tris, height_ss, width_ss, th, lanes,
             # per-tile shortlist blocks: per-program SMEM stays O(n_chunks)
             # (the whole (n_tiles, n_chunks) table is ~6 MB at 1080p ss=2 —
             # far past the SMEM budget if passed unblocked)
-            pl.BlockSpec((1, n_chunks), lambda i, j: (i * n_tj + j, 0),
+            pl.BlockSpec((1, 1, n_chunks), lambda i, j: (i * n_tj + j, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i * n_tj + j, 0),
+            pl.BlockSpec((1, 1, 1), lambda i, j: (i * n_tj + j, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # resident table
         ],

@@ -43,16 +43,22 @@ def main():
            "triangles": int(pkt.num_triangles),
            "vsync_budget_ms": 16.7}
 
+    base_tf = np.asarray(pkt.transforms)
+
     def spin_transforms(k_frames, phase):
         """(K, D, 4, 4): the demo scene with its cube model spun by
         0.02 rad/frame — a real per-frame animation, and distinct inputs
-        per timing iteration so the tunnel cannot serve cached results."""
-        base = np.asarray(pkt.transforms)
+        per timing iteration so the tunnel cannot serve cached results.
+        Pure host-side numpy: no device round-trips inside timed loops."""
         frames = []
         for f in range(k_frames):
-            tf = base.copy()
+            tf = base_tf.copy()
             ang = 0.02 * (phase * k_frames + f)
-            rot = np.asarray(vm.rotation_y(jnp.float32(ang)))
+            c, s = math.cos(ang), math.sin(ang)
+            # row-vector rotation_y convention (ops/vecmat.py)
+            rot = np.array([[c, 0.0, -s, 0.0], [0.0, 1.0, 0.0, 0.0],
+                            [s, 0.0, c, 0.0], [0.0, 0.0, 0.0, 1.0]],
+                           np.float32)
             tf[-1] = rot @ tf[-1]
             frames.append(tf)
         return jnp.asarray(np.stack(frames), jnp.float32)
@@ -88,6 +94,22 @@ def main():
     out["meets_vsync_at_k4"] = out["k4_ms_per_frame"] <= out["vsync_budget_ms"]
     out["meets_vsync_at_k16"] = (
         out["k16_ms_per_frame"] <= out["vsync_budget_ms"])
+
+    # the same amortized cadence without supersampling (the reference's
+    # MSAA analogue off): the remaining per-frame cost is real sweep work,
+    # so ss=1's 4x-smaller pixel grid shows the vsync-met operating point
+    cfg1 = RasterConfig(width=W, height=H, supersample=1)
+    imgs = ras.rasterize_frames(pkt, cam, spin_transforms(4, 0), cfg1)
+    float(imgs.sum())
+    reps = 12
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        imgs = ras.rasterize_frames(pkt, cam, spin_transforms(4, i), cfg1)
+    float(imgs.sum())
+    dt = (time.perf_counter() - t0) / (reps * 4)
+    out["k4_ss1_ms_per_frame"] = round(dt * 1e3, 2)
+    out["meets_vsync_at_k4_ss1"] = (
+        out["k4_ss1_ms_per_frame"] <= out["vsync_budget_ms"])
 
     os.makedirs("docs/artifacts", exist_ok=True)
     with open("docs/artifacts/RASTER_AMORTIZED.json", "w") as f:

@@ -69,6 +69,14 @@ def main():
     # soft-raster losses, shared params) on the chip
     art["dual_train_1080p"] = run_json([py, "scripts/bench_dual.py"])
     art["bwd_breakdown"] = run_json([py, "scripts/bench_bwd_breakdown.py"])
+    # round-5 artifacts: soft-raster backward split + amortized raster
+    # cadence (K frames/dispatch); the triangle-scale wavefront breakdown
+    # (docs/artifacts/WAVEFRONT_BREAKDOWN.json) is recorded separately —
+    # its 1080p depth sweep alone is a ~25 min run
+    art["soft_bwd_breakdown"] = run_json(
+        [py, "scripts/bench_soft_breakdown.py"])
+    art["raster_amortized"] = run_json(
+        [py, "scripts/bench_raster_amortized.py"])
     art["scaling"] = run_json(
         [py, "scripts/bench_scaling.py"],
         env={"JAX_PLATFORMS": "cpu"})

@@ -89,6 +89,14 @@ _SWEEP_GROUP = 4
 #: sort is skipped below this live-ray fraction (stragglers sweep slightly
 #: more; the sort's fixed ~6 ms would dominate their tiny sweep)
 _SORT_MIN_LIVE = 0.125
+#: sort cadence: re-sort before bounce b>0 when (b-1) % _SORT_EVERY == 0.
+#: 1 = every bounce. The sort is 71.5 of each ~175 ms bounce at 1080p
+#: (WAVEFRONT_BREAKDOWN.json), so halving the cadence was A/B'd (round 5,
+#: config 4 fwd, bit-identical images): cadence 2 ran 1037 vs 904
+#: ms/sample — the stale order's extra sweep (~200 ms) exceeds the two
+#: sorts saved (~143 ms). Every-bounce sorting kept; the knob stays for
+#: scenes with cheaper decoherence.
+_SORT_EVERY = 1
 
 
 def _mask_kernel(scal_ref, stateT_ref, boxT8_ref, verd_ref, *, lanes):
@@ -831,9 +839,10 @@ def trace(key, o, d, packet, config, cull=True, record=False,
                 p = jnp.argsort(keys, stable=True)
                 return state[:, p]
 
-            state = jax.lax.cond(
-                n_live >= max(int(_SORT_MIN_LIVE * r_pad), 1),
-                do_sort, lambda s: s, state)
+            if (b - 1) % _SORT_EVERY == 0:
+                state = jax.lax.cond(
+                    n_live >= max(int(_SORT_MIN_LIVE * r_pad), 1),
+                    do_sort, lambda s: s, state)
 
             # a fully-dead wavefront skips the whole bounce pipeline (mask +
             # compaction + kernel) — the XLA analogue of the megakernel's
